@@ -1,0 +1,220 @@
+"""Public differentiable render / trace API.
+
+TPU-native counterpart of the reference render()/trace()
+(ref:gaussian_renderer/__init__.py:18-192) and of the autograd binding
+(ref:diff_gaussian_rasterization/__init__.py:72-189). The returned dict
+matches the reference contract: render, semantics, depth, alpha,
+radii, visibility_filter.
+
+Gradients: the full pipeline (preprocess -> gather -> tiled blend) is
+jax-differentiable; binning indices are integer and naturally constant.
+Scatter/atomics of the CUDA backward become deterministic gather-VJPs
+(segment sums), a reproducibility upgrade over the reference
+(ref:cuda_rasterizer/backward.cu:565-621).
+
+For densification statistics the reference reads the gradient of a
+zero screenspace tensor (ref:gaussian_renderer/__init__.py:26-30); here
+pass `mean2d_offset` (an (N,2) zeros array) and differentiate w.r.t. it
+— its cotangent is dL/d(pixel mean2d); multiply by (W/2, H/2) to get the
+reference's NDC-scaled stat (ref:cuda_rasterizer/backward.cu:498-499).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from goi_tpu.core.camera import Camera
+from goi_tpu.core.scene import GaussianScene
+from goi_tpu.raster.binning import Binning, bin_splats
+from goi_tpu.raster.blend import blend_tiles, tiles_to_image
+from goi_tpu.raster.preprocess import TILE, Splats, preprocess
+from goi_tpu.raster.reference import ALPHA_CLAMP, ALPHA_MIN, T_EPS
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterization budgets (all shapes must be static under jit).
+
+    max_instances: instance (Gaussian x tile duplication) buffer size;
+        the CUDA version allocates this dynamically per frame
+        (ref:rasterizer_impl.cu:155-230) — on TPU it is a fixed budget.
+    tile_cap: per-tile blended instance cap for the XLA path.
+    chunk: instances blended per scan step.
+    backend: 'xla' | 'pallas' | 'reference'.
+    """
+
+    max_instances: int = 1 << 20
+    tile_cap: int = 4096
+    chunk: int = 64
+    backend: str = "xla"
+
+
+def _grid(cam: Camera):
+    return (cam.width + TILE - 1) // TILE, (cam.height + TILE - 1) // TILE
+
+
+def image_to_tiles(img: jax.Array, grid_x: int, grid_y: int) -> jax.Array:
+    """(C, H, W) -> (T, 256, C), zero-padding to the tile grid."""
+    c, h, w = img.shape
+    ph, pw = grid_y * TILE - h, grid_x * TILE - w
+    img = jnp.pad(img, ((0, 0), (0, ph), (0, pw)))
+    img = img.reshape(c, grid_y, TILE, grid_x, TILE)
+    return img.transpose(1, 3, 2, 4, 0).reshape(
+        grid_y * grid_x, TILE * TILE, c)
+
+
+def render(
+    scene: GaussianScene,
+    cam: Camera,
+    bg_color,
+    config: RasterConfig = RasterConfig(),
+    *,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jax.Array] = None,
+    mean2d_offset: Optional[jax.Array] = None,
+    semantic_masks: Optional[jax.Array] = None,
+):
+    if config.backend == "reference":
+        from goi_tpu.raster.reference import render_reference
+        return render_reference(scene, cam, bg_color,
+                                scaling_modifier=scaling_modifier,
+                                override_color=override_color)
+
+    grid_x, grid_y = _grid(cam)
+    sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
+                    override_color=override_color,
+                    semantic_masks=semantic_masks)
+    if mean2d_offset is not None:
+        sp = dataclasses.replace(sp, mean2d=sp.mean2d + mean2d_offset)
+
+    binning = bin_splats(
+        jax.tree.map(jax.lax.stop_gradient, sp),
+        grid_x=grid_x, grid_y=grid_y,
+        max_instances=config.max_instances)
+
+    if config.backend == "pallas":
+        from goi_tpu.raster.pallas_blend import blend_tiles_pallas
+        color_t, sem_t, depth_t, alpha_t = blend_tiles_pallas(
+            sp, binning, jnp.asarray(bg_color, jnp.float32),
+            grid_x=grid_x, grid_y=grid_y)
+    else:
+        color_t, sem_t, depth_t, alpha_t = blend_tiles(
+            sp, binning, jnp.asarray(bg_color, jnp.float32),
+            grid_x=grid_x, grid_y=grid_y,
+            tile_cap=config.tile_cap, chunk=config.chunk)
+
+    h, w = cam.height, cam.width
+    return {
+        "render": tiles_to_image(color_t, grid_x, grid_y, h, w),
+        "semantics": tiles_to_image(sem_t, grid_x, grid_y, h, w),
+        "depth": tiles_to_image(depth_t[..., None], grid_x, grid_y, h, w),
+        "alpha": tiles_to_image(alpha_t[..., None], grid_x, grid_y, h, w),
+        "radii": sp.radius,
+        "visibility_filter": sp.radius > 0,
+        "num_instances": binning.num_instances,
+    }
+
+
+def trace(
+    scene: GaussianScene,
+    cam: Camera,
+    img_sem: jax.Array,
+    bg_color,
+    config: RasterConfig = RasterConfig(),
+    *,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jax.Array] = None,
+):
+    """2D->3D feature lifting (ref:cuda_rasterizer/forward.cu:422-583,
+    gaussian_renderer/__init__.py:107-192): walks the same blend order
+    and, for every *blended* instance with alpha > 0.005, accumulates the
+    pixel's image feature into that Gaussian.
+
+    img_sem: (S, H, W) per-pixel features to lift.
+    Returns dict(render, gaussian_semantics (N, S), num_gsem (N,)).
+    NOTE the reference increments its hit counter once per *channel*
+    (num_gsem ends up hits*S, ref:forward.cu:521-526); we reproduce that
+    so downstream normalization matches bit-for-bit.
+    """
+    grid_x, grid_y = _grid(cam)
+    num_tiles = grid_x * grid_y
+    S = img_sem.shape[0]
+    P = scene.xyz.shape[0]
+    sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
+                    override_color=override_color)
+    binning = bin_splats(sp, grid_x=grid_x, grid_y=grid_y,
+                         max_instances=config.max_instances)
+
+    sem_tiles = image_to_tiles(img_sem, grid_x, grid_y)  # (T, 256, S)
+    # Pixel validity (tile padding outside the image must not contribute).
+    ys = (jnp.arange(num_tiles)[:, None] // grid_x) * TILE + \
+        jnp.repeat(jnp.arange(TILE), TILE)[None, :]
+    xs = (jnp.arange(num_tiles)[:, None] % grid_x) * TILE + \
+        jnp.tile(jnp.arange(TILE), TILE)[None, :]
+    pix_ok = (xs < cam.width) & (ys < cam.height)        # (T, 256)
+
+    from goi_tpu.raster.blend import _tile_pixel_coords
+    fx, fy = _tile_pixel_coords(grid_x, grid_y)
+
+    k = jnp.arange(config.tile_cap, dtype=jnp.int32)
+    idx = binning.tile_start[:, None] + k[None, :]
+    in_slice = idx < binning.tile_end[:, None]
+    idx = jnp.minimum(idx, binning.point_list.shape[0] - 1)
+    gid = binning.point_list[idx]
+
+    chunk = config.chunk
+    n_chunks = (config.tile_cap + chunk - 1) // chunk
+    gid_t = jnp.moveaxis(
+        gid[:, : n_chunks * chunk].reshape(num_tiles, n_chunks, chunk), 1, 0)
+    msk_t = jnp.moveaxis(
+        in_slice[:, : n_chunks * chunk].reshape(num_tiles, n_chunks, chunk),
+        1, 0)
+
+    def step(carry, inp):
+        t_cur, gau_sem, n_hits = carry
+        g, m = inp
+        xy = sp.mean2d[g]
+        con = sp.conic[g]
+        opa = sp.opacity[g]
+        dx = xy[:, None, :, 0] - fx[:, :, None]
+        dy = xy[:, None, :, 1] - fy[:, :, None]
+        power = (-0.5 * (con[:, None, :, 0] * dx * dx
+                         + con[:, None, :, 2] * dy * dy)
+                 - con[:, None, :, 1] * dx * dy)
+        alpha = jnp.minimum(ALPHA_CLAMP,
+                            opa[:, None, :] * jnp.exp(power))
+        valid = (m[:, None, :] & pix_ok[:, :, None]
+                 & (power <= 0.0) & (alpha >= ALPHA_MIN))
+        q = jnp.where(valid, 1.0 - alpha, 1.0)
+        p_incl = t_cur[:, :, None] * jnp.cumprod(q, axis=-1)
+        active = valid & (p_incl >= T_EPS)
+        hit = active & (alpha > 0.005)                      # (T, 256, K)
+        # per-instance sums over the tile's pixels
+        inst_sem = jnp.einsum("tpk,tps->tks", hit.astype(jnp.float32),
+                              sem_tiles)
+        inst_cnt = jnp.sum(hit, axis=1).astype(jnp.int32)   # (T, K)
+        gau_sem = gau_sem.at[g.reshape(-1)].add(
+            inst_sem.reshape(-1, S))
+        n_hits = n_hits.at[g.reshape(-1)].add(inst_cnt.reshape(-1))
+        t_cur = t_cur * jnp.prod(jnp.where(active, q, 1.0), axis=-1)
+        return (t_cur, gau_sem, n_hits), None
+
+    t0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
+    (t_final, gau_sem, n_hits), _ = jax.lax.scan(
+        step,
+        (t0, jnp.zeros((P, S), jnp.float32), jnp.zeros((P,), jnp.int32)),
+        (gid_t, msk_t))
+
+    out = render(scene, cam, bg_color, config,
+                 scaling_modifier=scaling_modifier,
+                 override_color=override_color)
+    return {
+        "render": out["render"],
+        "gaussian_semantics": gau_sem,
+        # reference counts one hit per semantic channel (see docstring)
+        "num_gsem": n_hits * S,
+    }

@@ -1,0 +1,66 @@
+"""Test config: run everything on CPU with 8 virtual devices so sharding
+logic is exercised without TPU hardware (SURVEY.md §4 test plan)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# persistent compile cache: XLA:CPU compiles dominate test wall time
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from goi_tpu.core.camera import Camera  # noqa: E402
+from goi_tpu.core.scene import GaussianScene  # noqa: E402
+
+
+def make_random_scene(n=300, seed=0, sh_degree=2, sem_dim=10,
+                      spread=1.0, capacity=None):
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(0, spread, (n, 3)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.02, 0.12, (n,)).astype(np.float32)
+    scene = GaussianScene.create(xyz, colors, sh_degree=sh_degree,
+                                 sem_dim=sem_dim, scales=scales,
+                                 capacity=capacity)
+    # randomize everything a bit so all code paths see non-trivial data
+    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    cap = scene.capacity
+    pad = lambda a: np.pad(a, [(0, cap - n)] + [(0, 0)] * (a.ndim - 1))
+    scene = scene.replace(
+        rotation=jax.numpy.asarray(pad(quats)),
+        opacity=jax.numpy.asarray(
+            pad(rng.uniform(-2.0, 3.0, (n, 1)).astype(np.float32))),
+        semantics=jax.numpy.asarray(
+            pad(rng.normal(0, 1, (n, sem_dim)).astype(np.float32))),
+        features_rest=scene.features_rest + 0.05 * jax.numpy.asarray(
+            rng.normal(0, 1, scene.features_rest.shape).astype(np.float32)),
+        active_sh_degree=sh_degree,
+    )
+    return scene
+
+
+def make_test_camera(width=64, height=48, dist=4.0, angle=0.3):
+    eye = np.array([dist * np.sin(angle), 0.4, -dist * np.cos(angle)])
+    return Camera.look_at(eye, [0, 0, 0], [0, 1, 0],
+                          fovx=0.9, fovy=0.7, width=width, height=height)
+
+
+@pytest.fixture
+def small_scene():
+    return make_random_scene()
+
+
+@pytest.fixture
+def small_camera():
+    return make_test_camera()

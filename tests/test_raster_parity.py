@@ -1,0 +1,142 @@
+"""Golden parity: fast tiled rasterizer vs the exact per-pixel oracle.
+
+The oracle (goi_tpu/raster/reference.py) encodes the CUDA blend semantics
+(ref:cuda_rasterizer/forward.cu:261-386) in closed form; the tiled path
+must match it to float tolerance, including gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goi_tpu.raster import RasterConfig, render
+from goi_tpu.raster.reference import render_reference
+from tests.conftest import make_random_scene, make_test_camera
+
+CFG = RasterConfig(max_instances=1 << 14, tile_cap=512, chunk=64)
+
+
+@pytest.mark.parametrize("seed,n,wh", [
+    (0, 300, (64, 48)),
+    (1, 1000, (96, 64)),
+    (2, 50, (40, 40)),      # W,H not multiples of 16
+])
+def test_forward_matches_oracle(seed, n, wh):
+    scene = make_random_scene(n=n, seed=seed)
+    cam = make_test_camera(width=wh[0], height=wh[1], angle=0.2 * seed)
+    bg = jnp.array([1.0, 1.0, 1.0]) if seed % 2 else jnp.zeros(3)
+
+    ref = render_reference(scene, cam, bg)
+    out = render(scene, cam, bg, CFG)
+
+    for key in ("render", "semantics", "depth", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]),
+            rtol=2e-5, atol=2e-5, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                  np.asarray(ref["radii"]))
+
+
+def test_gradients_match_oracle():
+    scene = make_random_scene(n=120, seed=3)
+    cam = make_test_camera(width=32, height=32)
+    bg = jnp.zeros(3)
+    key = jax.random.PRNGKey(0)
+    # random cotangents on all outputs -> scalar loss
+    tgt_c = jax.random.normal(key, (3, 32, 32))
+    tgt_s = jax.random.normal(key, (10, 32, 32))
+
+    def loss_fn(render_fn):
+        def f(xyz, sem, opa, scaling, rot, fdc):
+            s = scene.replace(xyz=xyz, semantics=sem, opacity=opa,
+                              scaling=scaling, rotation=rot,
+                              features_dc=fdc)
+            out = render_fn(s)
+            return (jnp.sum(out["render"] * tgt_c)
+                    + jnp.sum(out["semantics"] * tgt_s)
+                    + jnp.sum(out["depth"]) * 0.1
+                    + jnp.sum(out["alpha"]) * 0.1)
+        return f
+
+    args = (scene.xyz, scene.semantics, scene.opacity, scene.scaling,
+            scene.rotation, scene.features_dc)
+    g_fast = jax.grad(loss_fn(lambda s: render(s, cam, bg, CFG)),
+                      argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_fn(lambda s: render_reference(s, cam, bg)),
+                     argnums=tuple(range(6)))(*args)
+    names = ["xyz", "semantics", "opacity", "scaling", "rotation", "f_dc"]
+    for name, a, b in zip(names, g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_gradients_numeric():
+    """Coarse finite-difference sanity check of the fast path.
+
+    The blend has genuine kinks (alpha clamp at 0.99, the 1/255 skip and
+    the 1e-4 termination, ref:cuda_rasterizer/forward.cu:349-357), so
+    fp32 central differences can land on them; the *precise* gradient
+    gate is test_gradients_match_oracle. Here we only require the right
+    sign and magnitude."""
+    scene = make_random_scene(n=40, seed=5)
+    cam = make_test_camera(width=32, height=32)
+    bg = jnp.array([0.2, 0.3, 0.4])
+    cfg = RasterConfig(max_instances=1 << 12, tile_cap=256, chunk=16)
+
+    def f(opa):
+        out = render(scene.replace(opacity=opa), cam, bg, cfg)
+        return jnp.sum(out["render"] ** 2) + jnp.sum(out["semantics"] ** 2)
+
+    g = jax.jit(jax.grad(f))(scene.opacity)
+    fj = jax.jit(f)
+    rng = np.random.default_rng(0)
+    ok = 0
+    probes = 6
+    for _ in range(probes):
+        i = int(rng.integers(0, 40))
+        eps = 1e-2
+        e = jnp.zeros_like(scene.opacity).at[i, 0].set(eps)
+        fd = float((fj(scene.opacity + e) - fj(scene.opacity - e))
+                   / (2 * eps))
+        gi = float(g[i, 0])
+        if abs(fd) < 1e-3 and abs(gi) < 1e-3:
+            ok += 1
+        elif np.sign(fd) == np.sign(gi) and 0.4 < abs(gi / fd) < 2.5:
+            ok += 1
+    assert ok >= probes - 1, (ok, probes)
+
+
+def test_early_termination_and_opaque():
+    """Near-opaque front Gaussian: background contribution ~0, alpha ~1."""
+    scene = make_random_scene(n=100, seed=7)
+    # crank opacities to ~0.97 -> T collapses in ~3 splats -> early
+    # termination. (Logit 8.0 would clamp alpha to exactly 0.99 and park
+    # T*(1-a) precisely on the 1e-4 cutoff, where fp32 associativity
+    # differences between the tiled and oracle paths flip inclusion.)
+    scene = scene.replace(opacity=jnp.full_like(scene.opacity, 3.5),
+                          scaling=scene.scaling + 1.5)
+    cam = make_test_camera(width=48, height=48)
+    ref = render_reference(scene, cam, jnp.ones(3))
+    out = render(scene, cam, jnp.ones(3), CFG)
+    # Pixels whose transmittance lands within fp32 noise of the 1e-4
+    # cutoff may include one splat more/less than the oracle (chunked vs
+    # sequential product association); each flip moves the pixel by at
+    # most alpha*T ~ 1e-4*a/(1-a) <= 5e-3. Bound both the magnitude and
+    # how many pixels are affected.
+    a = np.asarray(out["render"])
+    b = np.asarray(ref["render"])
+    np.testing.assert_allclose(a, b, atol=5e-3)
+    assert np.mean(np.abs(a - b) > 2e-5) < 0.05
+    assert float(jnp.max(out["alpha"])) > 0.999
+
+
+def test_background_applied_to_color_not_semantics():
+    scene = make_random_scene(n=5, seed=9, spread=0.1)
+    cam = make_test_camera(width=32, height=32, dist=50.0)  # scene far away
+    out = render(scene, cam, jnp.array([0.25, 0.5, 0.75]), CFG)
+    # most pixels are pure background
+    corner = np.asarray(out["render"][:, 0, 0])
+    np.testing.assert_allclose(corner, [0.25, 0.5, 0.75], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["semantics"][:, 0, 0]),
+                               0.0, atol=1e-5)
