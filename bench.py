@@ -1,0 +1,81 @@
+"""Benchmark: forward+backward rasterization throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "Mrays/s/chip fwd+bwd", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N}
+
+The baseline target is >= 1 Mrays/s/chip fwd+bwd (BASELINE.json). A ray
+here is one rendered pixel of a full differentiable RGB+semantic render
+(3+10+1+1 channels), gradient taken w.r.t. all Gaussian parameters —
+the reference rasterizer's full forward+backward workload
+(ref:cuda_rasterizer/forward.cu, backward.cu).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from goi_tpu.core.camera import Camera
+    from goi_tpu.core.scene import GaussianScene
+    from goi_tpu.raster import RasterConfig, render
+
+    # Representative scene: 100k Gaussians, 512x512 frame.
+    n = 100_000
+    width = height = 512
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    scene = GaussianScene.create(
+        xyz, colors, sh_degree=3, sem_dim=10,
+        scales=rng.uniform(0.005, 0.02, n).astype(np.float32))
+    scene = scene.replace(
+        active_sh_degree=3,
+        opacity=scene.opacity
+        + jnp.asarray(rng.normal(0, 1, (n, 1)).astype(np.float32)),
+        semantics=jnp.asarray(
+            rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
+    cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
+                         fovx=0.9, fovy=0.9, width=width, height=height)
+    cfg = RasterConfig(max_instances=1 << 20, tile_cap=4096, chunk=128)
+
+    tgt_c = jnp.zeros((3, height, width))
+    tgt_s = jnp.zeros((10, height, width))
+
+    def loss_fn(params):
+        out = render(scene.with_params(params), cam, jnp.zeros(3), cfg)
+        return (jnp.mean(jnp.abs(out["render"] - tgt_c))
+                + jnp.mean(jnp.abs(out["semantics"] - tgt_s)))
+
+    step = jax.jit(jax.grad(loss_fn))
+    params = scene.params()
+
+    # warmup / compile
+    g = step(params)
+    jax.block_until_ready(g)
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        g = step(params)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+
+    rays = width * height
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

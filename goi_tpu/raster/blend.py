@@ -80,6 +80,12 @@ def blend_tiles(
     gid_t = jnp.moveaxis(gid_c, 1, 0)      # (n_chunks, T, chunk)
     msk_t = jnp.moveaxis(msk_c, 1, 0)
 
+    # Rematerialize each chunk in the backward pass instead of saving
+    # per-chunk alphas/weights (the CUDA backward makes the same trade:
+    # it re-walks the sorted list and recomputes alpha from conic+mean,
+    # ref:cuda_rasterizer/backward.cu:530-545). Without this, reverse-mode
+    # through the scan stores O(tiles * 256 * chunk) floats per step.
+    @jax.checkpoint
     def step(carry, inp):
         t_cur, acc_c, acc_s, acc_d = carry
         g, m = inp                          # (T, chunk)

@@ -3,13 +3,24 @@ logic is exercised without TPU hardware (SURVEY.md §4 test plan)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The environment's sitecustomize initializes jax backends (on the real
+# TPU tunnel) at interpreter startup, before this file runs — tear them
+# down so the env above takes effect and tests run on 8 virtual CPU
+# devices as intended.
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._clear_backends()
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: XLA:CPU compiles dominate test wall time
