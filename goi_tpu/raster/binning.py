@@ -5,16 +5,20 @@ TPU re-design of the CUDA pipeline (CUB prefix scan + duplicateWithKeys +
 64-bit radix sort + identifyTileRanges,
 ref:cuda_rasterizer/rasterizer_impl.cu:35-138,279-322):
 
-- Instead of packing [tileID|depth-bits] into one 64-bit key and radix
-  sorting N instances, we (1) stably sort the P Gaussians by depth once,
-  (2) expand instances in that order with a vectorized searchsorted over
-  the cumulative tile counts, and (3) stably sort the instances by int32
-  tile id. Stability makes per-tile order = (depth asc, Gaussian index
-  asc), bit-identical to the CUDA stable radix sort over packed keys
-  (positive depths sort identically as floats and as bit patterns).
-- XLA needs static shapes, so the instance buffer has a fixed budget
-  `max_instances`; overflow instances get the sentinel tile and sort to
-  the end (callers can detect overflow via `num_instances`).
+- Stably sort the P Gaussians by depth once, then expand instances in
+  depth-major order. The slot->Gaussian mapping is a scatter + cummax
+  (marking each Gaussian's first slot, then a running max) — an
+  associative scan instead of the binary-search `searchsorted`, which
+  costs log(P) serialized gather rounds on TPU.
+- Per-instance attributes come from ONE fused row-gather of a packed
+  per-Gaussian int matrix (TPU gathers amortize over contiguous rows).
+- Instances sort by a single packed uint32 (tile << slot_bits | slot)
+  key with the Gaussian id as payload; the embedded unique slot makes
+  the sort stable, so per-tile order is (depth asc, Gaussian idx asc) —
+  bit-identical to the CUDA stable radix sort over [tileID|depth] keys.
+- XLA needs static shapes: the instance buffer is a fixed `max_instances`
+  budget; overflow drops the *deepest* instances (the stream is
+  depth-major) and padding carries a sentinel tile id.
 """
 
 from __future__ import annotations
@@ -37,46 +41,89 @@ class Binning:
     num_instances: jax.Array  # () int32 actual instance count (may exceed budget)
 
 
-@partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances"))
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
+                                   "align"))
 def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
-               max_instances: int) -> Binning:
+               max_instances: int, align: int = 0) -> Binning:
+    """align > 0 pads every tile's segment start to a multiple of
+    `align` slots (sentinel-filled gaps) so fixed-size chunk walks in the
+    Pallas kernels never cross a tile boundary. The instance buffer must
+    then budget for up to num_tiles*align extra slots."""
     num_tiles = grid_x * grid_y
+    n_inst = max_instances
 
     # 1) depth sort of Gaussians (stable; invalid to the back).
-    order = jnp.argsort(jnp.where(sp.valid, sp.depth, jnp.inf), stable=True)
+    order = jnp.argsort(jnp.where(sp.valid, sp.depth, jnp.inf),
+                        stable=True).astype(jnp.int32)
     counts = sp.tiles_touched[order].astype(jnp.int32)
-    rmin = sp.rect_min[order]
-    rmax = sp.rect_max[order]
-
-    offsets = jnp.cumsum(counts)           # inclusive
+    offsets = jnp.cumsum(counts)
+    base = offsets - counts
     total = offsets[-1]
 
-    # 2) instance expansion: slot s belongs to sorted-Gaussian g(s).
-    slots = jnp.arange(max_instances, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
-    in_range = slots < total
-    g_safe = jnp.minimum(g, counts.shape[0] - 1)
-    base = jnp.where(g_safe > 0, offsets[jnp.maximum(g_safe - 1, 0)], 0)
-    local = slots - base
+    # packed per-sorted-Gaussian info for one fused row gather:
+    # [rmin_x, rmin_y, rect_w, base, gid]
+    rmin = sp.rect_min[order]
+    width = jnp.maximum(sp.rect_max[order, 0] - rmin[:, 0], 1)
+    info = jnp.stack([rmin[:, 0], rmin[:, 1], width, base, order],
+                     axis=1).astype(jnp.int32)
+
+    # 2) slot -> sorted-Gaussian index: mark first slot of each Gaussian,
+    # then cummax (marks are increasing along the stream).
+    slots = jnp.arange(n_inst, dtype=jnp.int32)
+    g_idx = jnp.arange(counts.shape[0], dtype=jnp.int32)
+    mark = jnp.zeros(n_inst, jnp.int32).at[
+        jnp.where(counts > 0, base, n_inst)].set(g_idx, mode="drop")
+    g_stream = jax.lax.cummax(mark)
+
+    inst_info = info[g_stream]                          # (n_inst, 5)
+    local = slots - inst_info[:, 3]
     # row-major walk of the rect, matching duplicateWithKeys' y-outer
     # x-inner loop (ref:rasterizer_impl.cu:70-95).
-    width = jnp.maximum(rmax[g_safe, 0] - rmin[g_safe, 0], 1)
-    tx = rmin[g_safe, 0] + local % width
-    ty = rmin[g_safe, 1] + local // width
-    tile = ty * grid_x + tx
-    tile = jnp.where(in_range, tile, num_tiles)  # sentinel for padding
+    tx = inst_info[:, 0] + local % inst_info[:, 2]
+    ty = inst_info[:, 1] + local // inst_info[:, 2]
+    in_range = slots < total
+    tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
 
-    # 3) stable sort instances by tile id; per-tile order stays depth asc.
-    tile_sorted, inst_perm = jax.lax.sort_key_val(
-        tile, slots, is_stable=True)
-    gid = order[g_safe[inst_perm]].astype(jnp.int32)
+    # 3) sort instances by packed (tile, slot) key, Gaussian id payload.
+    slot_bits = max(n_inst.bit_length(), 1)
+    tile_bits = (num_tiles + 1).bit_length()
+    assert slot_bits + tile_bits <= 32, (
+        f"instance budget 2^{slot_bits} x {num_tiles} tiles exceeds the "
+        "32-bit packed sort key; shrink max_instances or shard tiles")
+    key = (tile.astype(jnp.uint32) << slot_bits) | slots.astype(jnp.uint32)
+    key_sorted, gid = jax.lax.sort_key_val(key, inst_info[:, 4])
+    tile_sorted = (key_sorted >> slot_bits).astype(jnp.int32)
 
-    starts = jnp.searchsorted(tile_sorted,
-                              jnp.arange(num_tiles, dtype=jnp.int32),
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tids,
                               side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_sorted,
-                            jnp.arange(num_tiles, dtype=jnp.int32),
+    ends = jnp.searchsorted(tile_sorted, tids,
                             side="right").astype(jnp.int32)
+
+    if align:
+        # re-scatter each tile's contiguous run to an align-rounded start
+        counts_t = ends - starts
+        seg = jnp.ceil(counts_t / align).astype(jnp.int32) * align
+        a_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(seg)[:-1]]).astype(jnp.int32)
+        a_end = a_start + counts_t
+        # fused (T, 2) lut gather: aligned start & unaligned start
+        lut = jnp.stack([a_start, starts], axis=1)
+        tile_clipped = jnp.minimum(tile_sorted, num_tiles - 1)
+        lrow = lut[tile_clipped]
+        rank = jnp.arange(n_inst, dtype=jnp.int32) - lrow[:, 1]
+        pos = lrow[:, 0] + rank
+        ok = tile_sorted < num_tiles
+        # out-of-bounds scatter index -> dropped (mode="drop")
+        pos = jnp.where(ok, pos, n_inst)
+        gid_aligned = jnp.full_like(gid, -1).at[pos].set(gid, mode="drop")
+        # clamp ranges into the (static) buffer: overflow truncates the
+        # deepest instances, same policy as the unaligned path
+        cap = jnp.int32(n_inst)
+        a_start = jnp.minimum(a_start, cap)
+        a_end = jnp.minimum(a_end, cap)
+        return Binning(point_list=gid_aligned, tile_start=a_start,
+                       tile_end=a_end, num_instances=total)
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=total)

@@ -1,0 +1,339 @@
+"""Pallas TPU kernels for the tiled alpha blend (forward + backward).
+
+TPU-native replacement for renderCUDA forward/backward
+(ref:cuda_rasterizer/forward.cu:261-386, backward.cu:413-625). One grid
+program per 16x16 tile; instance data arrives pre-gathered and
+tile-segmented (K-aligned segments from bin_splats(align=K)) as one
+feature-major matrix in HBM, so every chunk is ONE contiguous DMA —
+the TPU answer to the CUDA kernel's shared-memory batch fetches.
+
+Per chunk of K=128 instances (all (256, K) VPU math + MXU matmuls):
+  power/alpha as in the CUDA kernel (0.99 clamp, 1/255 skip, T<1e-4
+  sticky stop); transmittance via log-space cumulative sums computed as
+  a triangular-matrix matmul (MXU) — no sequential scan;
+  accumulation   acc += W @ F_out           (256xK @ Kx14)
+  early exit     while max_pixel T >= 1e-4
+
+Backward re-walks the chunks front-to-back (the CUDA kernel walks
+back-to-front with atomics; front-to-back + suffix-from-total gives the
+identical math with deterministic per-instance writes):
+  dL/dalpha_i = T_i (f_i . g) - R_i / (1 - alpha_i),
+  R_i = TOTAL - prefix_i,  TOTAL = sum_j w_j (f_j . g) + g_T * T_final
+then chains to mean2d/conic/opacity exactly as
+ref:cuda_rasterizer/backward.cu:598-621. Per-instance grads are written
+to disjoint K-aligned slices (no atomics, bit-deterministic), and the
+caller segment-sums instances -> Gaussians.
+
+Feature-row layout (D = 7 + 3 + S):
+  0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..8:rgb
+  9..9+S-1:semantics 6+3+S:depth
+Output row layout (OUTC = 14 two-padded to 16):
+  0..2 color accum, 3..3+S-1 semantics, 3+S depth, 3+S+1 T_final
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from goi_tpu.raster.binning import Binning
+from goi_tpu.raster.preprocess import TILE, Splats
+from goi_tpu.raster.reference import ALPHA_CLAMP, ALPHA_MIN, T_EPS
+
+K = 128          # instances per chunk (lane width)
+PIX = TILE * TILE
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def pack_features(sp: Splats, binning: Binning) -> jax.Array:
+    """Gather per-instance features, feature-major: (D_pad, Npad+K).
+    Sentinel instances (gid < 0) become all-zero columns (opacity 0 =>
+    alpha 0 < 1/255 => skipped).
+
+    Built as ONE contiguous row-gather of a per-Gaussian feature matrix
+    followed by a transpose — orders of magnitude cheaper on TPU than
+    per-column gathers."""
+    s_dim = sp.semantics.shape[-1]
+    d = 7 + 3 + s_dim
+    d_pad = d + ((-d) % 8)  # Mosaic HBM sublane tiling
+    per_gauss = jnp.concatenate([
+        sp.mean2d,                       # 2
+        sp.conic,                        # 3
+        sp.opacity[:, None],             # 1
+        sp.color,                        # 3
+        sp.semantics,                    # S
+        sp.depth[:, None],               # 1
+        jnp.zeros((sp.opacity.shape[0], d_pad - d), sp.opacity.dtype),
+    ], axis=1)                           # (N_gauss, d_pad)
+    gid = binning.point_list
+    ok = gid >= 0
+    inst = per_gauss[jnp.maximum(gid, 0)]            # (N_inst, d_pad)
+    inst = jnp.where(ok[:, None], inst, 0.0)
+    feat = inst.T                                     # (d_pad, N_inst)
+    # +K zero columns so the last (clamped) segment's chunk walk stays
+    # in bounds
+    return jnp.pad(feat, ((0, 0), (0, K)))
+
+
+def _pixel_coords(t, grid_x):
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    tile_x = t % grid_x
+    tile_y = t // grid_x
+    px = (tile_x * TILE + p_ids % TILE).astype(jnp.float32)
+    py = (tile_y * TILE + p_ids // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _tri():
+    """(K, K) upper-triangular ones: X @ tri = inclusive cumsum over
+    lanes, on the MXU."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _chunk_common(f, px, py, off, end, t_carry):
+    """Shared forward recompute for a chunk: returns everything the
+    fwd/bwd passes need. f: (D, K) chunk."""
+    x, y = f[0:1, :], f[1:2, :]
+    ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
+    opa = f[5:6, :]
+    dx = x - px                               # (PIX, K)
+    dy = y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g_exp = jnp.exp(power)
+    raw = opa * g_exp
+    alpha = jnp.minimum(ALPHA_CLAMP, raw)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + off
+    valid = (col < end) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    q = jnp.where(valid, 1.0 - alpha, 1.0)
+    # inclusive cumulative product along lanes via a Hillis-Steele
+    # doubling scan (7 roll+mask+multiply steps) — pure multiplies, no
+    # log/exp error, so the T<1e-4 cutoff decisions match the
+    # sequential CUDA product to fp32 rounding
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    cp = q
+    d = 1
+    while d < K:
+        cp = cp * jnp.where(lane < d, 1.0, pltpu.roll(cp, d, axis=1))
+        d *= 2
+    cp_excl = jnp.where(lane < 1, 1.0, pltpu.roll(cp, 1, axis=1))
+    p_excl = t_carry * cp_excl
+    p_incl = t_carry * cp
+    active = valid & (p_incl >= T_EPS)
+    w = jnp.where(active, alpha * p_excl, 0.0)
+    # prod over active q == cp at the last active lane == min of the
+    # (non-increasing) masked cumprod; Mosaic has no reduce_prod
+    t_next = t_carry * jnp.min(jnp.where(active, cp, 1.0), axis=1,
+                               keepdims=True)
+    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, opa=opa,
+                g_exp=g_exp, raw=raw, alpha=alpha, active=active,
+                q=q, p_incl=p_incl, p_excl=p_excl, w=w, t_next=t_next)
+
+
+def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
+                scratch, sem, *, grid_x, n_out):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    px, py = _pixel_coords(t, grid_x)
+
+    def cond(c):
+        k, t_carry, acc = c
+        return (start + k * K < end) & (jnp.max(t_carry) >= T_EPS)
+
+    def body(c):
+        k, t_carry, acc = c
+        off = pl.multiple_of(start + k * K, K)
+        dma = pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, K)], scratch, sem)
+        dma.start()
+        dma.wait()
+        f = scratch[:]
+        ck = _chunk_common(f, px, py, off, end, t_carry)
+        fout = f[6:6 + n_out, :]              # (n_out, K)
+        acc = acc + jax.lax.dot_general(
+            ck["w"], fout, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return k + 1, ck["t_next"], acc
+
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, n_out), jnp.float32))
+    _, t_carry, acc = jax.lax.while_loop(cond, body, init)
+    out_ref[0, :, :n_out] = acc
+    out_ref[0, :, n_out:n_out + 1] = t_carry
+    out_ref[0, :, n_out + 1:] = jnp.zeros(
+        (PIX, out_ref.shape[-1] - n_out - 1), jnp.float32)
+
+
+def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
+                dfeat_ref, scratch, dscratch, sem_in, sem_out,
+                *, grid_x, n_out):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    px, py = _pixel_coords(t, grid_x)
+
+    o = out_res_ref[0]                         # (PIX, OUTC)
+    g = g_ref[0]
+    gc = g[:, :n_out]                          # (PIX, n_out)
+    g_t = g[:, n_out:n_out + 1]                # (PIX, 1)
+    t_fin = o[:, n_out:n_out + 1]
+    total = jnp.sum(gc * o[:, :n_out], axis=1, keepdims=True) \
+        + g_t * t_fin                          # (PIX, 1)
+
+    n_chunks = pl.cdiv(end - start, K)
+
+    def body(k, c):
+        t_carry, prefix = c
+        off = pl.multiple_of(start + k * K, K)
+        dma = pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, K)], scratch, sem_in)
+        dma.start()
+        dma.wait()
+        f = scratch[:]
+        ck = _chunk_common(f, px, py, off, end, t_carry)
+        w, q, active = ck["w"], ck["q"], ck["active"]
+        fout = f[6:6 + n_out, :]
+
+        # f_i . g per (pixel, instance)
+        fdotg = jax.lax.dot_general(
+            gc, fout, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (PIX, K)
+        # color/sem/depth grads: (n_out, K)
+        dfo = jax.lax.dot_general(
+            gc, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        wf = w * fdotg
+        prefix_incl = prefix + jnp.dot(
+            wf, _tri(), preferred_element_type=jnp.float32)
+        r_suffix = total - prefix_incl
+        t_prev = ck["p_excl"]
+        dalpha = jnp.where(active, t_prev * fdotg - r_suffix / q, 0.0)
+        unclamped = ck["raw"] < ALPHA_CLAMP
+        dG = jnp.where(unclamped, ck["opa"] * dalpha, 0.0)
+        dopa_pix = jnp.where(unclamped, ck["g_exp"] * dalpha, 0.0)
+        dpow = ck["g_exp"] * dG
+        dx, dy = ck["dx"], ck["dy"]
+        ddx = dpow * (-(ck["ca"] * dx + ck["cb"] * dy))
+        ddy = dpow * (-(ck["cc"] * dy + ck["cb"] * dx))
+
+        dscratch[0:1, :] = jnp.sum(ddx, axis=0, keepdims=True)
+        dscratch[1:2, :] = jnp.sum(ddy, axis=0, keepdims=True)
+        dscratch[2:3, :] = jnp.sum(dpow * (-0.5 * dx * dx), axis=0,
+                                   keepdims=True)
+        dscratch[3:4, :] = jnp.sum(dpow * (-dx * dy), axis=0,
+                                   keepdims=True)
+        dscratch[4:5, :] = jnp.sum(dpow * (-0.5 * dy * dy), axis=0,
+                                   keepdims=True)
+        dscratch[5:6, :] = jnp.sum(dopa_pix, axis=0, keepdims=True)
+        dscratch[6:6 + n_out, :] = dfo
+        # zero the alignment-padding rows (uninitialized scratch)
+        dscratch[6 + n_out:, :] = jnp.zeros(
+            (dscratch.shape[0] - 6 - n_out, K), jnp.float32)
+        wdma = pltpu.make_async_copy(
+            dscratch, dfeat_ref.at[:, pl.ds(off, K)], sem_out)
+        wdma.start()
+        wdma.wait()
+        prefix = prefix + jnp.sum(wf, axis=1, keepdims=True)
+        return ck["t_next"], prefix
+
+    init = (jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blend_core(feat, starts, ends, grid_x, grid_y, n_out):
+    out, _ = _blend_fwd(feat, starts, ends, grid_x, grid_y, n_out)
+    return out
+
+
+def _blend_fwd(feat, starts, ends, grid_x, grid_y, n_out):
+    num_tiles = grid_x * grid_y
+    outc = n_out + 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, PIX, outc),
+                               lambda t, s, e: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((feat.shape[0], K), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_fwd_kernel, grid_x=grid_x, n_out=n_out),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, outc),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, ends, feat)
+    return out, (feat, starts, ends, out)
+
+
+def _blend_bwd(grid_x, grid_y, n_out, res, g):
+    feat, starts, ends, out = res
+    num_tiles = grid_x * grid_y
+    outc = n_out + 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PIX, outc), lambda t, s, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, outc), lambda t, s, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((feat.shape[0], K), jnp.float32),
+            pltpu.VMEM((feat.shape[0], K), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dfeat = pl.pallas_call(
+        partial(_bwd_kernel, grid_x=grid_x, n_out=n_out),
+        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, ends, feat, out, g)
+    # columns never covered by a tile segment hold uninitialized memory
+    n_inst = feat.shape[1]
+    last = jnp.maximum(
+        starts[-1] + pl.cdiv(ends[-1] - starts[-1], K) * K, 0)
+    colmask = jnp.arange(n_inst)[None, :] < last
+    dfeat = jnp.where(colmask, dfeat, 0.0)
+    return (dfeat, None, None)
+
+
+_blend_core.defvjp(_blend_fwd, _blend_bwd)
+
+
+def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
+                       *, grid_x: int, grid_y: int):
+    """Drop-in replacement for blend_tiles (XLA path): returns
+    (color (T,256,3), sem (T,256,S), depth (T,256), alpha (T,256)).
+    Requires bin_splats(..., align=K)."""
+    s = sp.semantics.shape[-1]
+    n_out = 3 + s + 1
+    feat = pack_features(sp, binning)
+    raw = _blend_core(feat, binning.tile_start, binning.tile_end,
+                      grid_x, grid_y, n_out)
+    t_final = raw[:, :, n_out]
+    color = raw[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
+    sem = raw[:, :, 3:3 + s]
+    depth = raw[:, :, 3 + s]
+    return color, sem, depth, 1.0 - t_final

@@ -91,10 +91,14 @@ def render(
     if mean2d_offset is not None:
         sp = dataclasses.replace(sp, mean2d=sp.mean2d + mean2d_offset)
 
+    align = 0
+    if config.backend == "pallas":
+        from goi_tpu.raster.pallas_blend import K as PALLAS_K
+        align = PALLAS_K
     binning = bin_splats(
         jax.tree.map(jax.lax.stop_gradient, sp),
         grid_x=grid_x, grid_y=grid_y,
-        max_instances=config.max_instances)
+        max_instances=config.max_instances, align=align)
 
     if config.backend == "pallas":
         from goi_tpu.raster.pallas_blend import blend_tiles_pallas
