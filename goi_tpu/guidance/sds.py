@@ -1,0 +1,122 @@
+"""Score-distillation guidance (SDS) for scene editing.
+
+JAX re-design of the reference's guidance family (ref:guidance/
+sd_inpainting_utils.py:124-308 plus the sd/sdxl/vsd/cds variants). The
+score network itself is a large frozen diffusion model whose weights are
+external artifacts (the reference downloads them from HF; this
+environment has no egress), so the SDS machinery is factored against a
+`DiffusionBackend` protocol:
+
+  encode_images(imgs)    (B,3,512,512) -> latents (B,4,64,64)
+  unet_eps(latent_in, t, cond)  noise prediction
+  alphas                 cumulative alpha schedule (T,)
+
+Any backend works: a JAX port of SD-inpaint weights, a torch-CPU
+wrapper, or the analytic test backend in tests. The SDS math here is
+exact to the reference: masked-image latents for the inpaint UNet's
+9-channel input, dreamtime-style timestep annealing, classifier-free
+guidance, loss = 0.5*MSE(latents, stopgrad(latents - w(t)(eps_hat-eps)))
+restricted to the edit mask (ref:sd_inpainting_utils.py:165-308).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiffusionBackend(Protocol):
+    alphas: jax.Array            # (num_train_timesteps,) cumprod alphas
+    num_train_timesteps: int
+
+    def encode_images(self, imgs: jax.Array) -> jax.Array: ...
+
+    def unet_eps(self, latent_in: jax.Array, t: jax.Array,
+                 cond: jax.Array) -> jax.Array: ...
+
+
+class InpaintSDS:
+    """SDS guidance against an inpainting diffusion backend."""
+
+    def __init__(self, backend: DiffusionBackend,
+                 pos_embedding: jax.Array, neg_embedding: jax.Array,
+                 t_range=(0.02, 0.98), latent_size: int = 64):
+        self.backend = backend
+        self.pos = pos_embedding
+        self.neg = neg_embedding
+        T = backend.num_train_timesteps
+        self.min_step = int(T * t_range[0])
+        self.max_step = int(T * t_range[1])
+        self.latent_size = latent_size
+
+    def _pick_t(self, key, batch, step_ratio):
+        T = self.backend.num_train_timesteps
+        if step_ratio is not None:
+            # dreamtime-like annealing (ref:sd_inpainting_utils.py:164-167);
+            # step_ratio may be a traced value
+            t = jnp.clip(jnp.round((1.0 - step_ratio) * T),
+                         self.min_step, self.max_step).astype(jnp.int32)
+            return jnp.full((batch,), t)
+        return jax.random.randint(key, (batch,), self.min_step,
+                                  self.max_step + 1)
+
+    def train_step(self, key, images: jax.Array, masks: jax.Array,
+                   *, step_ratio: Optional[float] = None,
+                   guidance_scale: float = 7.5) -> jax.Array:
+        """images (B,3,H,W) in [0,1] WITH gradient flow; masks (B,1,H,W)
+        binary (1 = editable). Returns the scalar SDS loss
+        (ref:sd_inpainting_utils.py:124-308)."""
+        b = images.shape[0]
+        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        m512 = (jax.image.resize(masks, (b, 1, 512, 512), "bilinear")
+                >= 0.5).astype(images.dtype)
+
+        latents = self.backend.encode_images(imgs512 * 2.0 - 1.0)
+        masked_latents = jax.lax.stop_gradient(
+            self.backend.encode_images((imgs512 * (1 - m512)) * 2 - 1))
+        ls = self.latent_size
+        m_lat = (jax.image.resize(m512, (b, 1, ls, ls), "nearest"))
+
+        key, kt, kn = jax.random.split(key, 3)
+        t = self._pick_t(kt, b, step_ratio)
+        alphas = self.backend.alphas
+        a_t = alphas[t][:, None, None, None]
+        w = (1.0 - a_t)
+
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        lat0 = jax.lax.stop_gradient(latents)
+        noisy = jnp.sqrt(a_t) * lat0 + jnp.sqrt(1 - a_t) * noise
+
+        def eps(cond):
+            latent_in = jnp.concatenate(
+                [noisy, m_lat, masked_latents], axis=1)
+            return self.backend.unet_eps(latent_in, t, cond)
+
+        eps_pos = eps(jnp.broadcast_to(self.pos[None],
+                                       (b,) + self.pos.shape))
+        eps_neg = eps(jnp.broadcast_to(self.neg[None],
+                                       (b,) + self.neg.shape))
+        eps_hat = eps_neg + guidance_scale * (eps_pos - eps_neg)
+
+        grad = w * (eps_hat - noise)
+        grad = jnp.nan_to_num(grad)
+        target = jax.lax.stop_gradient(latents - grad)
+        mse = 0.5 * (latents - target) ** 2 / b
+        mask_lat = jnp.broadcast_to(m_lat, mse.shape)
+        return jnp.sum(mse * mask_lat)
+
+
+def dilate_mask(mask: jax.Array, kernel: int = 3,
+                iterations: int = 5) -> jax.Array:
+    """Binary max-pool dilation, the role of cv2.dilate(k=3, iters=5) in
+    the edit precompute (ref:gui/main_edit.py:320-395). mask (H, W)."""
+    m = mask.astype(jnp.float32)[None, None]
+    pad = kernel // 2
+    for _ in range(iterations):
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, 1, kernel, kernel),
+            (1, 1, 1, 1), [(0, 0), (0, 0), (pad, pad), (pad, pad)])
+    return (m[0, 0] > 0.5)

@@ -77,7 +77,14 @@ def render(
     override_color: Optional[jax.Array] = None,
     mean2d_offset: Optional[jax.Array] = None,
     semantic_masks: Optional[jax.Array] = None,
+    gaussian_mask: Optional[jax.Array] = None,
 ):
+    """semantic_masks gates the semantic channel only
+    (ref:scene/gaussian_model.py:108-123); gaussian_mask hides Gaussians
+    entirely (the GUI renderer's subset mask,
+    ref:gui/gs_renderer.py:315-321)."""
+    if gaussian_mask is not None:
+        scene = scene.replace(valid=scene.valid & gaussian_mask)
     if config.backend == "reference":
         from goi_tpu.raster.reference import render_reference
         return render_reference(scene, cam, bg_color,
