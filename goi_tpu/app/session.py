@@ -219,6 +219,48 @@ class QuerySession:
         self.rel_gs_index = keep
         return keep
 
+    # ---- eval (ref:gui/main.py:1938-2016, gui/main_test.py:628-687) ----
+    def render_query_masks(self, cameras: List[Camera], out_dir: str,
+                           names: Optional[List[str]] = None) -> list:
+        """Render the current query's binary masks for each camera and
+        save them as PNGs — the artifact eval_seg.py scores
+        (white = match)."""
+        import os
+
+        from goi_tpu.utils.image import save_image
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, cam in enumerate(cameras):
+            out = render(self.scene, cam, self.bg, self.raster_cfg)
+            s = out["semantics"].shape[0]
+            sim = self.compute_similarity(
+                out["semantics"].reshape(s, -1).T)
+            mask = np.asarray(sim > 0).reshape(cam.height, cam.width)
+            name = names[i] if names else f"{i:05d}"
+            p = os.path.join(out_dir, f"{name}.png")
+            save_image(mask.astype(np.float32)[None], p)
+            paths.append(p)
+        return paths
+
+    def eval_against_gt(self, cameras: List[Camera],
+                        gt_masks: List[np.ndarray]) -> dict:
+        """mIoU/mPA/mP of the current query against ground-truth masks
+        (ref:gui/main_test.py:628-687 eval_epoch)."""
+        from goi_tpu.eval.metrics import iou_metrics
+
+        agg = {"iou": [], "mpa": [], "mp": []}
+        for cam, gt in zip(cameras, gt_masks):
+            out = render(self.scene, cam, self.bg, self.raster_cfg)
+            s = out["semantics"].shape[0]
+            sim = self.compute_similarity(
+                out["semantics"].reshape(s, -1).T)
+            pred = np.asarray(sim > 0).reshape(cam.height, cam.width)
+            m = iou_metrics(jnp.asarray(pred), jnp.asarray(gt > 0))
+            for k in agg:
+                agg[k].append(float(m[k]))
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
     # ---- video (ref:gui/main.py:1766-1821) ----
     def render_path(self, anchor_c2ws: List[np.ndarray],
                     width: int, height: int, fovx: float, fovy: float,

@@ -174,6 +174,20 @@ def read_points3d_text(path):
     return (np.array(xyz), np.array(rgb, np.uint8), np.array(err))
 
 
+def _read_points3d_fast(path):
+    """Native C++ parser when available (large models are Python-loop
+    bound otherwise; see goi_tpu/native/), else the pure-Python walk."""
+    from goi_tpu.native.loader import read_points3d_binary_native
+    out = read_points3d_binary_native(path)
+    return out if out is not None else read_points3d_binary(path)
+
+
+def _read_images_fast(path):
+    from goi_tpu.native.loader import read_images_binary_native
+    out = read_images_binary_native(path)
+    return out if out is not None else read_images_binary(path)
+
+
 def read_model(sparse_dir: str):
     """Auto-detect binary vs text model files
     (ref:scene/dataset_readers.py:139-151 fallback behavior)."""
@@ -185,6 +199,6 @@ def read_model(sparse_dir: str):
         return rt(t)
 
     cams = pick("cameras", read_cameras_binary, read_cameras_text)
-    imgs = pick("images", read_images_binary, read_images_text)
-    pts = pick("points3D", read_points3d_binary, read_points3d_text)
+    imgs = pick("images", _read_images_fast, read_images_text)
+    pts = pick("points3D", _read_points3d_fast, read_points3d_text)
     return cams, imgs, pts

@@ -182,10 +182,13 @@ def test_viewer_protocol_loopback():
         recv_holder["img_len"] = len(img)
         s.close()
 
+    import time
+
     t = threading.Thread(target=client)
     t.start()
     served = False
-    for _ in range(100):
+    for _ in range(200):
+        time.sleep(0.02)
         flags = gui.serve_step(
             lambda cam, sm: np.zeros((3, cam.height, cam.width),
                                      np.float32),
