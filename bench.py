@@ -43,7 +43,9 @@ def main():
             rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
-    cfg = RasterConfig(max_instances=1 << 20, backend="pallas")
+    from goi_tpu.raster.render import suggest_instance_budget
+    budget = suggest_instance_budget(scene, cam)
+    cfg = RasterConfig(max_instances=budget, backend="pallas")
 
     tgt_c = jnp.zeros((3, height, width))
     tgt_s = jnp.zeros((10, height, width))

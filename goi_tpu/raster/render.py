@@ -57,6 +57,26 @@ def _grid(cam: Camera):
     return (cam.width + TILE - 1) // TILE, (cam.height + TILE - 1) // TILE
 
 
+def suggest_instance_budget(scene: GaussianScene, cams, *,
+                            margin: float = 1.5,
+                            minimum: int = 1 << 15) -> int:
+    """Pick max_instances as the next power of two above the actual
+    instance count (with headroom). Binning, packing, and the gradient
+    scatter all scale with the *budget*, not the true count, so a tight
+    budget is a direct throughput win; the CUDA reference sizes these
+    buffers dynamically per frame (ref:rasterizer_impl.cu:155-230) —
+    on TPU shapes are static, so re-jit when the scene outgrows the
+    budget (training loops call this every few hundred steps)."""
+    if not isinstance(cams, (list, tuple)):
+        cams = [cams]
+    worst = 0
+    for cam in cams:
+        sp = preprocess(scene, cam)
+        worst = max(worst, int(jnp.sum(sp.tiles_touched)))
+    want = max(int(worst * margin) + 1, minimum)
+    return 1 << (want - 1).bit_length()
+
+
 def image_to_tiles(img: jax.Array, grid_x: int, grid_y: int) -> jax.Array:
     """(C, H, W) -> (T, 256, C), zero-padding to the tile grid."""
     c, h, w = img.shape

@@ -32,7 +32,8 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int,
                         default=[1000, 1500])
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--max_instances", type=int, default=1 << 20)
+    parser.add_argument("--max_instances", type=int, default=0,
+                        help="0 = auto-size from the scene")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -62,8 +63,13 @@ def main(argv=None):
         feats.append(fm)
         cams.append(cam)
 
-    raster_cfg = RasterConfig(max_instances=args.max_instances,
-                              backend="pallas")
+    if args.max_instances > 0:
+        budget = args.max_instances
+    else:
+        from goi_tpu.raster.render import suggest_instance_budget
+        budget = suggest_instance_budget(scene.gaussians, cams[:8])
+        print(f"instance budget: {budget}")
+    raster_cfg = RasterConfig(max_instances=budget, backend="pallas")
 
     def checkpoint_cb(it, state, aux):
         if it in set(args.save_iterations) | {op.iterations}:
