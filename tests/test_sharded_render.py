@@ -1,0 +1,70 @@
+"""Sharded renderer: bitwise-equivalent output and gradients vs the
+single-device path, on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goi_tpu.dist.mesh import make_mesh, shard_scene
+from goi_tpu.dist.render import render_sharded
+from goi_tpu.raster import RasterConfig, render
+from tests.conftest import make_random_scene, make_test_camera
+
+CFG = RasterConfig(max_instances=1 << 14, tile_cap=512, chunk=64)
+
+
+def _setup(n_model=4):
+    mesh = make_mesh(1, n_model)
+    scene = make_random_scene(n=256, seed=0, capacity=256)
+    cam = make_test_camera(width=64, height=64)  # 4x4 tiles
+    return mesh, scene, cam
+
+
+def test_sharded_forward_matches_single_device():
+    mesh, scene, cam = _setup(4)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = render(scene, cam, bg, CFG)
+    sh = shard_scene(scene, mesh)
+    out = jax.jit(lambda s: render_sharded(s, cam, bg, CFG, mesh))(sh)
+    for key in ("render", "semantics", "depth", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]),
+            rtol=3e-5, atol=3e-5, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                  np.asarray(ref["radii"]))
+
+
+def test_sharded_gradients_match_single_device():
+    mesh, scene, cam = _setup(4)
+    bg = jnp.zeros(3)
+    key = jax.random.PRNGKey(0)
+    tgt = jax.random.normal(key, (3, 64, 64))
+
+    def loss_single(params):
+        out = render(scene.with_params(params), cam, bg, CFG)
+        return jnp.sum(out["render"] * tgt) + jnp.sum(out["semantics"])
+
+    def loss_sharded(params):
+        s = scene.with_params(params)
+        out = render_sharded(s, cam, bg, CFG, mesh)
+        return jnp.sum(out["render"] * tgt) + jnp.sum(out["semantics"])
+
+    g1 = jax.jit(jax.grad(loss_single))(scene.params())
+    sh = shard_scene(scene, mesh)
+    g2 = jax.jit(jax.grad(loss_sharded))(sh.params())
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-4, atol=5e-5, err_msg=k)
+
+
+def test_sharded_pallas_backend_interpret():
+    mesh, scene, cam = _setup(4)
+    cfg = RasterConfig(max_instances=1 << 14, backend="pallas")
+    bg = jnp.zeros(3)
+    ref = render(scene, cam, bg, CFG)
+    sh = shard_scene(scene, mesh)
+    out = jax.jit(lambda s: render_sharded(s, cam, bg, cfg, mesh))(sh)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]),
+                               rtol=5e-5, atol=5e-5)
