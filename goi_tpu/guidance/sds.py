@@ -109,6 +109,43 @@ class InpaintSDS:
         return jnp.sum(mse * mask_lat)
 
 
+class PlainSDS:
+    """Non-inpainting SDS against a 4-channel UNet (the role of
+    ref:guidance/sd_utils.py train_step): same annealing/CFG/weighting,
+    latent input is just the noisy latents."""
+
+    def __init__(self, backend: DiffusionBackend,
+                 pos_embedding: jax.Array, neg_embedding: jax.Array,
+                 t_range=(0.02, 0.98), latent_size: int = 64):
+        self._inner = InpaintSDS(backend, pos_embedding, neg_embedding,
+                                 t_range, latent_size)
+
+    def train_step(self, key, images: jax.Array, *,
+                   step_ratio: Optional[float] = None,
+                   guidance_scale: float = 7.5) -> jax.Array:
+        b = images.shape[0]
+        s = self._inner
+        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        latents = s.backend.encode_images(imgs512 * 2.0 - 1.0)
+        key, kt, kn = jax.random.split(key, 3)
+        t = s._pick_t(kt, b, step_ratio)
+        a_t = s.backend.alphas[t][:, None, None, None]
+        w = 1.0 - a_t
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        lat0 = jax.lax.stop_gradient(latents)
+        noisy = jnp.sqrt(a_t) * lat0 + jnp.sqrt(1 - a_t) * noise
+
+        def eps(cond):
+            return s.backend.unet_eps(noisy, t, cond)
+
+        e_pos = eps(jnp.broadcast_to(s.pos[None], (b,) + s.pos.shape))
+        e_neg = eps(jnp.broadcast_to(s.neg[None], (b,) + s.neg.shape))
+        eps_hat = e_neg + guidance_scale * (e_pos - e_neg)
+        grad = jnp.nan_to_num(w * (eps_hat - noise))
+        target = jax.lax.stop_gradient(latents - grad)
+        return jnp.sum(0.5 * (latents - target) ** 2 / b)
+
+
 def dilate_mask(mask: jax.Array, kernel: int = 3,
                 iterations: int = 5) -> jax.Array:
     """Binary max-pool dilation, the role of cv2.dilate(k=3, iters=5) in
