@@ -51,6 +51,7 @@ class RasterConfig:
     tile_cap: int = 4096
     chunk: int = 64
     backend: str = "xla"
+    debug: bool = False
 
 
 def _grid(cam: Camera):
@@ -139,7 +140,7 @@ def render(
             tile_cap=config.tile_cap, chunk=config.chunk)
 
     h, w = cam.height, cam.width
-    return {
+    out = {
         "render": tiles_to_image(color_t, grid_x, grid_y, h, w),
         "semantics": tiles_to_image(sem_t, grid_x, grid_y, h, w),
         "depth": tiles_to_image(depth_t[..., None], grid_x, grid_y, h, w),
@@ -148,6 +149,25 @@ def render(
         "visibility_filter": sp.radius > 0,
         "num_instances": binning.num_instances,
     }
+    if config.debug:
+        # kernel forensics (role of the reference's --debug CPU snapshot
+        # dumps, ref:diff_gaussian_rasterization/__init__.py:112-119):
+        # on non-finite output, dump the rasterizer inputs host-side.
+        bad = ~(jnp.isfinite(out["render"]).all()
+                & jnp.isfinite(out["semantics"]).all())
+
+        def dump(bad_flag, splats):
+            if bool(bad_flag):
+                import pickle
+                import numpy as _np
+                path = "snapshot_fw.dump"
+                with open(path, "wb") as f:
+                    pickle.dump(jax.tree.map(_np.asarray, splats), f)
+                print(f"[goi_tpu] non-finite render output; rasterizer "
+                      f"inputs dumped to {path}")
+
+        jax.debug.callback(dump, bad, sp)
+    return out
 
 
 def trace(

@@ -116,6 +116,7 @@ def train_distillation(
     seed: int = 0,
     log_every: int = 100,
     callback=None,
+    tb_log_dir: Optional[str] = None,
 ):
     """Host-side driver (ref:train.py:96-202): random camera order per
     epoch, per-camera feature upload, periodic logging. Returns the final
@@ -143,12 +144,25 @@ def train_distillation(
     rng = np.random.default_rng(seed)
     stack: list = []
     ema = 0.0
+    tb = None
+    if tb_log_dir:
+        from goi_tpu.utils.logging import TensorBoardLogger
+        tb = TensorBoardLogger(tb_log_dir)
+    from goi_tpu.utils.profiling import StepTimer
+    timer = StepTimer()
     for it in range(1, iterations + 1):
         if not stack:
             stack = list(rng.permutation(len(cameras)))
         ci = int(stack.pop())
         gt = jnp.asarray(feature_maps[ci])
-        state, aux = step_jit(state, cameras[ci], gt, bg, raster_cfg)
+        with timer:
+            state, aux = step_jit(state, cameras[ci], gt, bg,
+                                  raster_cfg)
+        if tb is not None and it % 10 == 0:
+            # (ref:train.py:230-233 total_loss / iter_time scalars)
+            tb.scalar("train_loss_patches/total_loss",
+                      float(aux["total"]), it)
+            tb.scalar("iter_time", timer.ms, it)
         if it % log_every == 1 or it == iterations:
             loss = float(aux["total"])
             ema = 0.4 * loss + 0.6 * (ema or loss)
@@ -158,4 +172,6 @@ def train_distillation(
                   f"recc {float(aux['recc']):.4f})")
         if callback is not None:
             callback(it, state, aux)
+    if tb is not None:
+        tb.close()
     return state

@@ -82,7 +82,7 @@ def main(argv=None):
         tab_len=mp.tab_len, ape_dim=mp.ape_dim,
         iterations=op.iterations, cfg=op, raster_cfg=raster_cfg,
         white_background=mp.white_background, seed=args.seed,
-        callback=checkpoint_cb)
+        callback=checkpoint_cb, tb_log_dir=mp.model_path)
     print("\nTraining complete.")
     return state
 
