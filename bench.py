@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

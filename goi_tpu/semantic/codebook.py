@@ -98,7 +98,7 @@ def kmeans(key, x: jax.Array, ncluster: int, niter: int = 10) -> jax.Array:
     points, init from a random permutation, assign by max dot product,
     recompute means, re-init dead clusters from random points."""
     n = x.shape[0]
-    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-8)
     key, sub = jax.random.split(key)
     # tile the permutation when n < ncluster (degenerate inputs)
     pick = lambda s: x[jax.random.permutation(s, n)[
@@ -107,7 +107,8 @@ def kmeans(key, x: jax.Array, ncluster: int, niter: int = 10) -> jax.Array:
 
     def body(carry, sub):
         centers = carry
-        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        centers = centers / jnp.maximum(
+            jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-8)
         assign = jnp.argmax(x @ centers.T, axis=1)
         sums = jax.ops.segment_sum(x, assign, num_segments=ncluster)
         cnt = jax.ops.segment_sum(jnp.ones((n,)), assign,

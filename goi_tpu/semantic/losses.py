@@ -35,8 +35,13 @@ def distillation_loss(
     logits = decoder(sem_feature)
     sem_label = jax.nn.softmax(logits, axis=-1)
 
-    gtl = gt_features / jnp.linalg.norm(gt_features, axis=1, keepdims=True)
-    lut_n = lut / jnp.linalg.norm(lut, axis=1, keepdims=True)
+    # eps guards: all-zero feature rows (e.g. padded/background pixels)
+    # would NaN the whole loss through 0/0 (the reference divides
+    # unguarded, ref:train.py:148-149 — robustness deviation)
+    gtl = gt_features / jnp.maximum(
+        jnp.linalg.norm(gt_features, axis=1, keepdims=True), 1e-8)
+    lut_n = lut / jnp.maximum(
+        jnp.linalg.norm(lut, axis=1, keepdims=True), 1e-8)
     sim = gtl @ lut_n.T                                    # (pixels, K)
 
     sim_val = jnp.max(sim, axis=1, keepdims=True)

@@ -53,6 +53,8 @@ def main(argv=None):
                          "source_path": saved.source_path})
 
     import jax.numpy as jnp
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from goi_tpu.data.scene import Scene
     from goi_tpu.raster import RasterConfig

@@ -15,6 +15,8 @@ import time
 
 
 def main():
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -45,6 +45,8 @@ def main(argv=None):
     save_params(mp.model_path, mp, op)
 
     import jax.numpy as jnp
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from goi_tpu.data.dataset import load_feature_map
     from goi_tpu.data.scene import Scene
