@@ -191,8 +191,8 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
     n_chunks = pl.cdiv(end - start, K)
 
-    def body(k, c):
-        t_carry, prefix = c
+    def body(c):
+        k, t_carry, prefix = c
         off = pl.multiple_of(start + k * K, K)
         dma = pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch, sem_in)
@@ -243,11 +243,33 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         wdma.start()
         wdma.wait()
         prefix = prefix + jnp.sum(wf, axis=1, keepdims=True)
-        return ck["t_next"], prefix
+        return k + 1, ck["t_next"], prefix
 
-    init = (jnp.ones((PIX, 1), jnp.float32),
+    # phase 1: gradient walk with the forward's early termination (all
+    # grads past the cutoff are zero — the CUDA backward skips them via
+    # last_contributor, ref:backward.cu:527-529)
+    def cond(c):
+        k, t_carry, _ = c
+        return (k < n_chunks) & (jnp.max(t_carry) >= T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    k_done, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # phase 2: zero-fill the untouched chunks of this tile's segment so
+    # every covered slot is written exactly once (determinism contract)
+    dscratch[:, :] = jnp.zeros(
+        (dscratch.shape[0], K), jnp.float32)
+
+    def zero_body(k, _):
+        off = pl.multiple_of(start + k * K, K)
+        zdma = pltpu.make_async_copy(
+            dscratch, dfeat_ref.at[:, pl.ds(off, K)], sem_out)
+        zdma.start()
+        zdma.wait()
+        return 0
+
+    jax.lax.fori_loop(k_done, n_chunks, zero_body, 0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -170,6 +170,15 @@ def render(
     return out
 
 
+def render_batch(scene: GaussianScene, cams: Camera, bg_color,
+                 config: RasterConfig = RasterConfig(), **kw):
+    """vmap of render() over a batched Camera pytree (stack_cameras):
+    amortizes per-frame fixed costs when rendering many views (video
+    paths, eval sweeps, batched training)."""
+    return jax.vmap(
+        lambda c: render(scene, c, bg_color, config, **kw))(cams)
+
+
 def trace(
     scene: GaussianScene,
     cam: Camera,

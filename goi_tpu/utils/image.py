@@ -130,6 +130,28 @@ def write_video(frames, path: str, fps: int = 10) -> str:
     return path
 
 
+# ScanNet NYU40 label palette (ref:utils/general_utils.py:199-223)
+NYU40_COLORS = np.array([
+    (0, 0, 0), (174, 199, 232), (152, 223, 138), (31, 119, 180),
+    (255, 187, 120), (188, 189, 34), (140, 86, 75), (255, 152, 150),
+    (214, 39, 40), (197, 176, 213), (148, 103, 189), (196, 156, 148),
+    (23, 190, 207), (178, 76, 76), (247, 182, 210), (66, 188, 102),
+    (219, 219, 141), (140, 57, 197), (202, 185, 52), (51, 176, 203),
+    (200, 54, 131), (92, 193, 61), (78, 71, 183), (172, 114, 82),
+    (255, 127, 14), (91, 163, 138), (153, 98, 156), (140, 153, 101),
+    (158, 218, 229), (100, 125, 154), (178, 127, 135), (120, 185, 128),
+    (146, 111, 194), (44, 160, 44), (112, 128, 144), (96, 207, 209),
+    (227, 119, 194), (213, 92, 176), (94, 106, 211), (82, 84, 163),
+    (100, 85, 144)], np.uint8)
+
+
+def nyu40_colorize(labels: np.ndarray) -> np.ndarray:
+    """(H, W) int labels in [0, 40] -> (H, W, 3) uint8 colors."""
+    lab = np.clip(np.asarray(labels, np.int64), 0,
+                  len(NYU40_COLORS) - 1)
+    return NYU40_COLORS[lab]
+
+
 def save_image(img, path: str) -> None:
     """(3,H,W) or (H,W,3) float [0,1] -> PNG."""
     from PIL import Image

@@ -97,3 +97,34 @@ def test_plain_sds():
         jax.random.PRNGKey(0), im, step_ratio=0.5,
         guidance_scale=1.0))(img)
     assert float(np.asarray(g).mean()) < 0  # descend -> brighten
+
+
+def test_nyu40_colorize():
+    from goi_tpu.utils.image import nyu40_colorize
+
+    lab = np.array([[0, 1], [40, 99]])
+    c = nyu40_colorize(lab)
+    assert c.shape == (2, 2, 3) and c.dtype == np.uint8
+    assert (c[0, 0] == 0).all()
+    assert (c[1, 0] == c[1, 1]).all()  # clipped
+
+
+def test_render_batch_matches_loop():
+    import jax
+
+    from goi_tpu.dist.shard import stack_cameras
+    from goi_tpu.raster import RasterConfig, render
+    from goi_tpu.raster.render import render_batch
+    from tests.conftest import make_random_scene, make_test_camera
+
+    cfg = RasterConfig(max_instances=1 << 12, tile_cap=256, chunk=32)
+    scene = make_random_scene(n=60, seed=3)
+    cams = [make_test_camera(width=32, height=32, angle=a)
+            for a in (0.0, 0.3)]
+    batched = stack_cameras(cams)
+    out = render_batch(scene, batched, jnp.zeros(3), cfg)
+    for i, c in enumerate(cams):
+        single = render(scene, c, jnp.zeros(3), cfg)
+        np.testing.assert_allclose(np.asarray(out["render"][i]),
+                                   np.asarray(single["render"]),
+                                   atol=1e-6)
