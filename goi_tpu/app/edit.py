@@ -11,7 +11,7 @@ grad masking is a tree-map multiply instead of in-place .grad surgery.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

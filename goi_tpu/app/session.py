@@ -17,7 +17,6 @@ class so it drives the web/socket viewer, batch CLIs, and tests:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional
 
 import jax

@@ -24,11 +24,9 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from goi_tpu.core.camera import Camera
 from goi_tpu.core.scene import GaussianScene

@@ -11,7 +11,6 @@ replacement for the reference's nonexistent multi-GPU path
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

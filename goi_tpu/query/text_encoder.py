@@ -17,7 +17,7 @@ Providers:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Protocol
+from typing import Dict, Protocol
 
 import numpy as np
 

@@ -21,7 +21,6 @@ path removes this cap.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from goi_tpu.core.camera import Camera
 from goi_tpu.core.scene import GaussianScene
-from goi_tpu.raster.preprocess import TILE, Splats, preprocess
+from goi_tpu.raster.preprocess import TILE, preprocess
 
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 
 from goi_tpu.core.camera import Camera
 from goi_tpu.core.scene import GaussianScene
-from goi_tpu.raster.binning import Binning, bin_splats
+from goi_tpu.raster.binning import bin_splats
 from goi_tpu.raster.blend import blend_tiles, tiles_to_image
-from goi_tpu.raster.preprocess import TILE, Splats, preprocess
+from goi_tpu.raster.preprocess import TILE, preprocess
 from goi_tpu.raster.reference import ALPHA_CLAMP, ALPHA_MIN, T_EPS
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

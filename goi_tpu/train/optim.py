@@ -11,9 +11,6 @@ own optax chain via `optax.multi_transform` over the pytree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -7,9 +7,6 @@ calculate_iou (:27-60,100+), the turbo-colormap heat overlay `clip_color`
 
 from __future__ import annotations
 
-import os
-from typing import List, Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

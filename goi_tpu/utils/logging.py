@@ -7,8 +7,6 @@ opacity histogram, point count) and the latent PCA visualizer
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
