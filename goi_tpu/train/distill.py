@@ -117,6 +117,7 @@ def train_distillation(
     log_every: int = 100,
     callback=None,
     tb_log_dir: Optional[str] = None,
+    spatial_lr_scale: float = 1.0,
 ):
     """Host-side driver (ref:train.py:96-202): random camera order per
     epoch, per-camera feature upload, periodic logging. Returns the final
@@ -137,7 +138,8 @@ def train_distillation(
         sub, dim_in=scene.sem_dim, dim_out=tab_len, num_layer=1,
         use_bias=True)
 
-    state, train_step = create_distill_state(scene, decoder, lut, cfg)
+    state, train_step = create_distill_state(
+        scene, decoder, lut, cfg, spatial_lr_scale=spatial_lr_scale)
     step_jit = jax.jit(train_step, static_argnames=("raster_cfg",))
 
     bg = jnp.ones(3) if white_background else jnp.zeros(3)

@@ -40,6 +40,8 @@ class RGBTrainState:
 
 def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
                        spatial_lr_scale: float = 1.0):
+    # the reference scales the xyz schedule by the camera extent
+    # (ref:scene/gaussian_model.py:169,179-182)
     """Returns (init_fn, step_fn, densify_fn)."""
     tx = make_full_training_optimizer(cfg, spatial_lr_scale)
 
@@ -110,7 +112,8 @@ def train_rgb(
     densify_until_iter], opacity reset every opacity_reset_interval."""
     cfg = cfg or OptimConfig(iterations=iterations)
     raster_cfg = raster_cfg or RasterConfig()
-    init_fn, step_fn, densify_fn = create_rgb_trainer(cfg, raster_cfg)
+    init_fn, step_fn, densify_fn = create_rgb_trainer(
+        cfg, raster_cfg, spatial_lr_scale=scene_extent)
 
     state = init_fn(scene)
     step_jit = jax.jit(step_fn)

@@ -84,7 +84,8 @@ def main(argv=None):
         tab_len=mp.tab_len, ape_dim=mp.ape_dim,
         iterations=op.iterations, cfg=op, raster_cfg=raster_cfg,
         white_background=mp.white_background, seed=args.seed,
-        callback=checkpoint_cb, tb_log_dir=mp.model_path)
+        callback=checkpoint_cb, tb_log_dir=mp.model_path,
+        spatial_lr_scale=scene.cameras_extent)
     print("\nTraining complete.")
     return state
 
