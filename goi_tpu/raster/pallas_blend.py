@@ -52,27 +52,30 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def pack_features(sp: Splats, binning: Binning) -> jax.Array:
+@jax.custom_vjp
+def _pack(mean2d, conic, opacity, color, semantics, depth, gid):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
     Sentinel instances (gid < 0) become all-zero columns (opacity 0 =>
     alpha 0 < 1/255 => skipped).
 
     Built as ONE contiguous row-gather of a per-Gaussian feature matrix
     followed by a transpose — orders of magnitude cheaper on TPU than
-    per-column gathers."""
-    s_dim = sp.semantics.shape[-1]
+    per-column gathers. The custom VJP scatter-adds only the used rows
+    back to Gaussians (one fused segment-sum; this is where the CUDA
+    backward's atomicAdd across pixels becomes a deterministic
+    reduction)."""
+    s_dim = semantics.shape[-1]
     d = 7 + 3 + s_dim
     d_pad = d + ((-d) % 8)  # Mosaic HBM sublane tiling
     per_gauss = jnp.concatenate([
-        sp.mean2d,                       # 2
-        sp.conic,                        # 3
-        sp.opacity[:, None],             # 1
-        sp.color,                        # 3
-        sp.semantics,                    # S
-        sp.depth[:, None],               # 1
-        jnp.zeros((sp.opacity.shape[0], d_pad - d), sp.opacity.dtype),
+        mean2d,                          # 2
+        conic,                           # 3
+        opacity[:, None],                # 1
+        color,                           # 3
+        semantics,                       # S
+        depth[:, None],                  # 1
+        jnp.zeros((opacity.shape[0], d_pad - d), opacity.dtype),
     ], axis=1)                           # (N_gauss, d_pad)
-    gid = binning.point_list
     ok = gid >= 0
     inst = per_gauss[jnp.maximum(gid, 0)]            # (N_inst, d_pad)
     inst = jnp.where(ok[:, None], inst, 0.0)
@@ -80,6 +83,33 @@ def pack_features(sp: Splats, binning: Binning) -> jax.Array:
     # +K zero columns so the last (clamped) segment's chunk walk stays
     # in bounds
     return jnp.pad(feat, ((0, 0), (0, K)))
+
+
+def _pack_fwd(mean2d, conic, opacity, color, semantics, depth, gid):
+    out = _pack(mean2d, conic, opacity, color, semantics, depth, gid)
+    return out, (gid, mean2d.shape[0], semantics.shape[-1])
+
+
+def _pack_bwd(res, g):
+    gid, n_gauss, s_dim = res
+    d = 7 + 3 + s_dim
+    gt = g[:d, :-K].T                                 # (N_inst, d)
+    ok = gid >= 0
+    # invalid slots route to a dump row n_gauss that is dropped
+    acc = jax.ops.segment_sum(
+        jnp.where(ok[:, None], gt, 0.0),
+        jnp.where(ok, gid, n_gauss),
+        num_segments=n_gauss + 1)[:n_gauss]
+    return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim], None)
+
+
+_pack.defvjp(_pack_fwd, _pack_bwd)
+
+
+def pack_features(sp: Splats, binning: Binning) -> jax.Array:
+    return _pack(sp.mean2d, sp.conic, sp.opacity, sp.color,
+                 sp.semantics, sp.depth, binning.point_list)
 
 
 def _pixel_coords(t, grid_x):
