@@ -1,3 +1,5 @@
-from goi_tpu.guidance.sds import DiffusionBackend, InpaintSDS
+from goi_tpu.guidance.sds import (DiffusionBackend, InpaintSDS, PlainSDS,
+                                   VSD, CDS, dilate_mask)
 
-__all__ = ["DiffusionBackend", "InpaintSDS"]
+__all__ = ["DiffusionBackend", "InpaintSDS", "PlainSDS", "VSD", "CDS",
+           "dilate_mask"]

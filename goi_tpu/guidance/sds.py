@@ -146,6 +146,128 @@ class PlainSDS:
         return jnp.sum(0.5 * (latents - target) ** 2 / b)
 
 
+class VSD:
+    """Variational score distillation (ProlificDreamer; the role of
+    ref:guidance/vsd_utils.py). The pretrained score comes from the
+    backend; the particle score is any trainable eps-net
+    `lora_eps(params, noisy, t, cond)` (the reference uses a LoRA'd UNet
+    copy, ref:vsd_utils.py:109-162). Alternate:
+      train_step      -> loss for the renderer parameters,
+      lora_loss       -> diffusion loss training the particle score."""
+
+    def __init__(self, backend: DiffusionBackend, lora_eps,
+                 pos_embedding: jax.Array, neg_embedding: jax.Array,
+                 t_range=(0.02, 0.98)):
+        self._s = InpaintSDS(backend, pos_embedding, neg_embedding,
+                             t_range)
+        self.backend = backend
+        self.lora_eps = lora_eps
+
+    def _latents(self, images):
+        b = images.shape[0]
+        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        return self.backend.encode_images(imgs512 * 2.0 - 1.0)
+
+    def train_step(self, key, lora_params, images, *,
+                   step_ratio=None, guidance_scale: float = 7.5):
+        s = self._s
+        latents = self._latents(images)
+        b = latents.shape[0]
+        key, kt, kn = jax.random.split(key, 3)
+        t = s._pick_t(kt, b, step_ratio)
+        a_t = self.backend.alphas[t][:, None, None, None]
+        w = 1.0 - a_t
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        lat0 = jax.lax.stop_gradient(latents)
+        noisy = jnp.sqrt(a_t) * lat0 + jnp.sqrt(1 - a_t) * noise
+
+        def pre_eps(cond):
+            return self.backend.unet_eps(noisy, t, cond)
+
+        e_pos = pre_eps(jnp.broadcast_to(s.pos[None],
+                                         (b,) + s.pos.shape))
+        e_neg = pre_eps(jnp.broadcast_to(s.neg[None],
+                                         (b,) + s.neg.shape))
+        eps_pre = e_neg + guidance_scale * (e_pos - e_neg)
+        eps_particle = self.lora_eps(
+            jax.lax.stop_gradient(lora_params), noisy, t,
+            jnp.broadcast_to(s.pos[None], (b,) + s.pos.shape))
+        grad = jnp.nan_to_num(w * (eps_pre - eps_particle))
+        target = jax.lax.stop_gradient(latents - grad)
+        return jnp.sum(0.5 * (latents - target) ** 2 / b)
+
+    def lora_loss(self, key, lora_params, images):
+        """Standard diffusion loss fitting the particle score to the
+        current render distribution (ref:vsd_utils.py train_lora)."""
+        latents = jax.lax.stop_gradient(self._latents(images))
+        b = latents.shape[0]
+        key, kt, kn = jax.random.split(key, 3)
+        t = self._s._pick_t(kt, b, None)
+        a_t = self.backend.alphas[t][:, None, None, None]
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        noisy = jnp.sqrt(a_t) * latents + jnp.sqrt(1 - a_t) * noise
+        pred = self.lora_eps(
+            lora_params, noisy, t,
+            jnp.broadcast_to(self._s.pos[None],
+                             (b,) + self._s.pos.shape))
+        return jnp.mean((pred - noise) ** 2)
+
+
+class CDS:
+    """The reference's two-timestep contrastive/SDI scheme
+    (ref:guidance/sd_cds_utils.py:178-318): VE noise sigma=sqrt(2t),
+    annealed t2 with t1 ~ U(t2+0.1, t2+0.2), an ODE step from t1 to t2,
+    and loss = w(t2) * MSE(x0_pred re-noised at t1, sg(eps_hat_t2))."""
+
+    def __init__(self, backend: DiffusionBackend,
+                 pos_embedding: jax.Array, neg_embedding: jax.Array,
+                 t_range=(0.02, 0.98)):
+        self._s = InpaintSDS(backend, pos_embedding, neg_embedding,
+                             t_range)
+        self.backend = backend
+        self.min_t, self.max_t = t_range
+
+    def train_step(self, key, images, *, step_ratio: float,
+                   guidance_scale: float = 100.0):
+        s = self._s
+        b = images.shape[0]
+        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        latents = self.backend.encode_images(imgs512 * 2.0 - 1.0)
+        T = self.backend.num_train_timesteps
+
+        key, ku, kn = jax.random.split(key, 3)
+        t2 = self.max_t - (self.max_t - self.min_t) * jnp.sqrt(
+            jnp.asarray(step_ratio))
+        t1 = t2 + jax.random.uniform(ku, (), minval=0.1, maxval=0.2)
+        t1s = jnp.full((b,), (t1 * T).astype(jnp.int32))
+        t2s = jnp.full((b,), (t2 * T).astype(jnp.int32))
+        sig1 = jnp.sqrt(2.0 * t1)
+        sig2 = jnp.sqrt(2.0 * t2)
+
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        lat0 = jax.lax.stop_gradient(latents)
+        noisy1 = lat0 + sig1 * noise
+
+        def cfg_eps(noisy, t):
+            e_pos = self.backend.unet_eps(
+                noisy, t, jnp.broadcast_to(s.pos[None],
+                                           (b,) + s.pos.shape))
+            e_neg = self.backend.unet_eps(
+                noisy, t, jnp.broadcast_to(s.neg[None],
+                                           (b,) + s.neg.shape))
+            return e_neg + guidance_scale * (e_pos - e_neg)
+
+        eps1 = cfg_eps(noisy1, t1s)
+        di = (noisy1 - eps1) / sig1
+        noisy2 = noisy1 + (sig2 - sig1) * di
+        x0_sub = jax.lax.stop_gradient(noise - di)
+        eps2 = jax.lax.stop_gradient(cfg_eps(noisy2, t1s))
+        w2 = (1.0 - self.backend.alphas[t2s])[:, None, None, None]
+
+        x0_pred = latents + sig1 * x0_sub
+        return jnp.sum(w2 * (x0_pred - eps2) ** 2)
+
+
 def dilate_mask(mask: jax.Array, kernel: int = 3,
                 iterations: int = 5) -> jax.Array:
     """Binary max-pool dilation, the role of cv2.dilate(k=3, iters=5) in

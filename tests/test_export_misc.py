@@ -128,3 +128,37 @@ def test_render_batch_matches_loop():
         np.testing.assert_allclose(np.asarray(out["render"][i]),
                                    np.asarray(single["render"]),
                                    atol=1e-6)
+
+
+def test_vsd_and_cds():
+    from goi_tpu.guidance.sds import CDS, VSD
+    from tests.test_app_edit import _ToyBackend
+
+    backend = _ToyBackend(target=0.9)
+
+    # lora eps: simple parametrized predictor (params = bias toward a
+    # learnable x0)
+    def lora_eps(params, noisy, t, cond):
+        a = backend.alphas[t][:, None, None, None]
+        tgt = jnp.full_like(noisy, params["x0"])
+        return (noisy - jnp.sqrt(a) * tgt) / jnp.sqrt(1 - a)
+
+    vsd = VSD(backend, lora_eps, jnp.zeros((1, 8)), jnp.zeros((1, 8)))
+    img = jnp.full((1, 3, 64, 64), 0.2)
+    params = {"x0": jnp.asarray(0.2 * 2 - 1)}  # particle score at render
+    key = jax.random.PRNGKey(0)
+    g = jax.grad(lambda im: vsd.train_step(
+        key, params, im, step_ratio=0.5, guidance_scale=1.0))(img)
+    # pretrained pulls to 0.9, particle sits at the render -> ascend
+    assert float(np.asarray(g).mean()) < 0
+
+    # lora training reduces its own diffusion loss w.r.t. params
+    gl = jax.grad(lambda p: vsd.lora_loss(key, p, img))(params)
+    assert np.isfinite(float(gl["x0"]))
+
+    cds = CDS(backend, jnp.zeros((1, 8)), jnp.zeros((1, 8)))
+    loss = cds.train_step(key, img, step_ratio=0.5, guidance_scale=1.0)
+    assert np.isfinite(float(loss))
+    gc = jax.grad(lambda im: cds.train_step(
+        key, im, step_ratio=0.5, guidance_scale=1.0))(img)
+    assert np.isfinite(np.asarray(gc)).all()
