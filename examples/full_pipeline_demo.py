@@ -130,6 +130,9 @@ def main():
         pcd, None, sh_degree=3, sem_dim=10,
         scales=np.full(len(pcd), 0.05, np.float32),
         capacity=int(len(pcd) * 4))
+    # NOTE: measured 19.0 dB held-out at 512x384/3k iters with this
+    # schedule; the scene fills its 4x capacity during densification —
+    # raising `capacity` below is the first lever for quality work.
     ocfg = OptimConfig(
         iterations=rgb_iters, densify_from_iter=200,
         densify_until_iter=rgb_iters // 2, densification_interval=150,
