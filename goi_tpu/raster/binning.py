@@ -39,6 +39,39 @@ class Binning:
     tile_start: jax.Array   # (num_tiles,) int32 start offset per tile
     tile_end: jax.Array     # (num_tiles,) int32 end offset (exclusive)
     num_instances: jax.Array  # () int32 actual instance count (may exceed budget)
+    num_slots: jax.Array    # () int32 buffer slots DEMANDED incl. alignment
+    #                         padding; num_slots > max_instances <=> some
+    #                         instances were truncated (overflow detector)
+    # ---- presort <-> sorted mapping (align path only; None otherwise).
+    # The presort stream is gaussian-major in depth order: gaussian of
+    # depth-rank r owns presort slots [g_base[r], g_base[r]+g_count[r]).
+    # These make the instance->gaussian gradient reduction a GATHER +
+    # contiguous segment sum instead of a scatter-add (see
+    # pallas_blend._pack_bwd).
+    pos: jax.Array = None      # (max_instances,) presort slot -> sorted
+    #                            destination (>= budget when dropped)
+    g_base: jax.Array = None   # (N,) presort offset per depth rank
+    g_count: jax.Array = None  # (N,) tiles touched per depth rank
+    order: jax.Array = None    # (N,) depth rank -> gaussian id
+
+
+@partial(jax.jit, static_argnames=("grid_x", "grid_y"))
+def tile_counts(sp: Splats, *, grid_x: int, grid_y: int) -> jax.Array:
+    """Exact per-tile instance counts WITHOUT expanding instances: each
+    valid Gaussian adds +1 over its tile rect via a 2D difference array
+    followed by a 2D cumsum (O(N + tiles) instead of O(instances)).
+    Used to size instance budgets incl. per-tile alignment padding."""
+    one = jnp.where(sp.valid & (sp.tiles_touched > 0), 1, 0) \
+        .astype(jnp.int32)
+    x0, y0 = sp.rect_min[:, 0], sp.rect_min[:, 1]
+    x1, y1 = sp.rect_max[:, 0], sp.rect_max[:, 1]
+    diff = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
+    diff = diff.at[y0, x0].add(one)
+    diff = diff.at[y0, x1].add(-one)
+    diff = diff.at[y1, x0].add(-one)
+    diff = diff.at[y1, x1].add(one)
+    counts = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)
+    return counts[:grid_y, :grid_x].reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
@@ -104,8 +137,9 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # re-scatter each tile's contiguous run to an align-rounded start
         counts_t = ends - starts
         seg = jnp.ceil(counts_t / align).astype(jnp.int32) * align
+        seg_cum = jnp.cumsum(seg)
         a_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                   jnp.cumsum(seg)[:-1]]).astype(jnp.int32)
+                                   seg_cum[:-1]]).astype(jnp.int32)
         a_end = a_start + counts_t
         # fused (T, 2) lut gather: aligned start & unaligned start
         lut = jnp.stack([a_start, starts], axis=1)
@@ -117,13 +151,27 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # out-of-bounds scatter index -> dropped (mode="drop")
         pos = jnp.where(ok, pos, n_inst)
         gid_aligned = jnp.full_like(gid, -1).at[pos].set(gid, mode="drop")
+        # presort slot -> aligned destination. `pos` above is indexed by
+        # SORTED slot; recover the presort indexing by scattering
+        # through the sort's embedded presort-slot payload (the low bits
+        # of the key are the unique presort slot).
+        presort_slot = (key_sorted
+                        & jnp.uint32((1 << slot_bits) - 1)).astype(
+            jnp.int32)
+        pos_presort = jnp.full((n_inst,), n_inst, jnp.int32).at[
+            presort_slot].set(jnp.minimum(pos, n_inst), mode="drop")
         # clamp ranges into the (static) buffer: overflow truncates the
-        # deepest instances, same policy as the unaligned path
+        # deepest instances, same policy as the unaligned path. The
+        # ALIGNED demand (seg_cum[-1]) is reported in num_slots so
+        # callers can detect truncation — the alignment padding can
+        # overflow the buffer even when the raw count fits.
         cap = jnp.int32(n_inst)
         a_start = jnp.minimum(a_start, cap)
         a_end = jnp.minimum(a_end, cap)
         return Binning(point_list=gid_aligned, tile_start=a_start,
-                       tile_end=a_end, num_instances=total)
+                       tile_end=a_end, num_instances=total,
+                       num_slots=seg_cum[-1], pos=pos_presort,
+                       g_base=base, g_count=counts, order=order)
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
-                   num_instances=total)
+                   num_instances=total, num_slots=total)

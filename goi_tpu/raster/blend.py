@@ -84,9 +84,17 @@ def blend_tiles(
     # it re-walks the sorted list and recomputes alpha from conic+mean,
     # ref:cuda_rasterizer/backward.cu:530-545). Without this, reverse-mode
     # through the scan stores O(tiles * 256 * chunk) floats per step.
+    # The scan carries TWO transmittances per pixel: t_all multiplies the
+    # q of EVERY valid instance and drives the T<1e-4 threshold — it is
+    # monotone non-increasing, so early termination is sticky across
+    # chunks (matching the CUDA done-flag and the oracle's closed form,
+    # ref:cuda_rasterizer/forward.cu:349-357); t_cur multiplies only the
+    # BLENDED instances' q and is the T composited with the background.
+    # Until the stop point the two are equal, so weights computed from
+    # t_all are exact.
     @jax.checkpoint
     def step(carry, inp):
-        t_cur, acc_c, acc_s, acc_d = carry
+        t_all, t_cur, acc_c, acc_s, acc_d = carry
         g, m = inp                          # (T, chunk)
         xy = sp.mean2d[g]                   # (T, chunk, 2)
         con = sp.conic[g]
@@ -105,7 +113,7 @@ def blend_tiles(
 
         valid = m[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
         q = jnp.where(valid, 1.0 - alpha, 1.0)
-        p_incl = t_cur[:, :, None] * jnp.cumprod(q, axis=-1)
+        p_incl = t_all[:, :, None] * jnp.cumprod(q, axis=-1)
         active = valid & (p_incl >= T_EPS)
         w = jnp.where(active, alpha * p_incl / q, 0.0)  # alpha * T_prev
 
@@ -113,14 +121,15 @@ def blend_tiles(
         acc_s = acc_s + jnp.einsum("tpk,tks->tps", w, sem)
         acc_d = acc_d + jnp.einsum("tpk,tk->tp", w, dep)
         t_cur = t_cur * jnp.prod(jnp.where(active, q, 1.0), axis=-1)
-        return (t_cur, acc_c, acc_s, acc_d), None
+        t_all = p_incl[:, :, -1]
+        return (t_all, t_cur, acc_c, acc_s, acc_d), None
 
     t0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
-    acc0 = (t0,
+    acc0 = (t0, t0,
             jnp.zeros((num_tiles, TILE * TILE, 3), jnp.float32),
             jnp.zeros((num_tiles, TILE * TILE, S), jnp.float32),
             jnp.zeros((num_tiles, TILE * TILE), jnp.float32))
-    (t_final, acc_c, acc_s, acc_d), _ = jax.lax.scan(
+    (_, t_final, acc_c, acc_s, acc_d), _ = jax.lax.scan(
         step, acc0, (gid_t, msk_t))
 
     bg = jnp.asarray(bg, jnp.float32)

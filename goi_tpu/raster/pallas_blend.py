@@ -53,17 +53,20 @@ def _interpret() -> bool:
 
 
 @jax.custom_vjp
-def _pack(mean2d, conic, opacity, color, semantics, depth, gid):
+def _pack(mean2d, conic, opacity, color, semantics, depth, gid,
+          pos, g_base, g_count, order):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
     Sentinel instances (gid < 0) become all-zero columns (opacity 0 =>
     alpha 0 < 1/255 => skipped).
 
     Built as ONE contiguous row-gather of a per-Gaussian feature matrix
     followed by a transpose — orders of magnitude cheaper on TPU than
-    per-column gathers. The custom VJP scatter-adds only the used rows
-    back to Gaussians (one fused segment-sum; this is where the CUDA
-    backward's atomicAdd across pixels becomes a deterministic
-    reduction)."""
+    per-column gathers. The custom VJP turns the CUDA backward's
+    atomicAdd pixel->Gaussian scatter into a deterministic GATHER-based
+    reduction: instance grads are gathered back to the gaussian-major
+    presort stream (via `pos`), summed per gaussian as contiguous
+    segments (log-depth cumsum + two gathers), and permuted to gaussian
+    ids (via `order`) — no large scatter-adds anywhere."""
     s_dim = semantics.shape[-1]
     d = 7 + 3 + s_dim
     d_pad = d + ((-d) % 8)  # Mosaic HBM sublane tiling
@@ -85,23 +88,42 @@ def _pack(mean2d, conic, opacity, color, semantics, depth, gid):
     return jnp.pad(feat, ((0, 0), (0, K)))
 
 
-def _pack_fwd(mean2d, conic, opacity, color, semantics, depth, gid):
-    out = _pack(mean2d, conic, opacity, color, semantics, depth, gid)
-    return out, (gid, mean2d.shape[0], semantics.shape[-1])
+def _pack_fwd(mean2d, conic, opacity, color, semantics, depth, gid,
+              pos, g_base, g_count, order):
+    out = _pack(mean2d, conic, opacity, color, semantics, depth, gid,
+                pos, g_base, g_count, order)
+    return out, (gid, pos, g_base, g_count, order, mean2d.shape[0],
+                 semantics.shape[-1])
 
 
 def _pack_bwd(res, g):
-    gid, n_gauss, s_dim = res
+    gid, pos, g_base, g_count, order, n_gauss, s_dim = res
     d = 7 + 3 + s_dim
-    gt = g[:d, :-K].T                                 # (N_inst, d)
-    ok = gid >= 0
-    # invalid slots route to a dump row n_gauss that is dropped
-    acc = jax.ops.segment_sum(
-        jnp.where(ok[:, None], gt, 0.0),
-        jnp.where(ok, gid, n_gauss),
-        num_segments=n_gauss + 1)[:n_gauss]
+    if pos is None:
+        # no presort mapping: deterministic segment-sum scatter
+        gt = g[:d, :-K].T                             # (N_inst, d)
+        ok = gid >= 0
+        acc = jax.ops.segment_sum(
+            jnp.where(ok[:, None], gt, 0.0),
+            jnp.where(ok, gid, n_gauss),
+            num_segments=n_gauss + 1)[:n_gauss]
+    else:
+        # gather-based reduction (see _pack docstring). Column
+        # `budget` of g is guaranteed zero: either the kernel wrote
+        # zeros there (sentinel instances never activate) or
+        # _blend_bwd's colmask zeroed it.
+        budget = pos.shape[0]
+        gt = g[:d].T                                  # (N_inst + K, d)
+        gp = gt[jnp.minimum(pos, budget)]             # (budget, d)
+        cs = jnp.cumsum(gp, axis=0)
+        cs = jnp.concatenate([jnp.zeros((1, d), gp.dtype), cs], axis=0)
+        s = jnp.minimum(g_base, budget)
+        e = jnp.minimum(g_base + g_count, budget)
+        seg = cs[e] - cs[s]                           # (N_sorted, d)
+        acc = jnp.zeros((n_gauss, d), gp.dtype).at[order].set(seg)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
-            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim], None)
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim], None,
+            None, None, None, None)
 
 
 _pack.defvjp(_pack_fwd, _pack_bwd)
@@ -109,7 +131,9 @@ _pack.defvjp(_pack_fwd, _pack_bwd)
 
 def pack_features(sp: Splats, binning: Binning) -> jax.Array:
     return _pack(sp.mean2d, sp.conic, sp.opacity, sp.color,
-                 sp.semantics, sp.depth, binning.point_list)
+                 sp.semantics, sp.depth, binning.point_list,
+                 binning.pos, binning.g_base, binning.g_count,
+                 binning.order)
 
 
 def _pixel_coords(t, grid_x):
@@ -131,7 +155,16 @@ def _tri():
 
 def _chunk_common(f, px, py, off, end, t_carry):
     """Shared forward recompute for a chunk: returns everything the
-    fwd/bwd passes need. f: (D, K) chunk."""
+    fwd/bwd passes need. f: (D, K) chunk.
+
+    t_carry is the ALL-VALID transmittance (product of q over every
+    valid instance so far, blended or not): it is monotone
+    non-increasing, so the T<1e-4 stop it drives is sticky across
+    chunks exactly like the CUDA done flag
+    (ref:cuda_rasterizer/forward.cu:349-357). Until the stop point it
+    equals the blended-only T, so the weights are exact. The caller
+    separately maintains the blended-only T (for the background
+    composite) via the returned `blend_factor`."""
     x, y = f[0:1, :], f[1:2, :]
     ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
     opa = f[5:6, :]
@@ -159,13 +192,16 @@ def _chunk_common(f, px, py, off, end, t_carry):
     p_incl = t_carry * cp
     active = valid & (p_incl >= T_EPS)
     w = jnp.where(active, alpha * p_excl, 0.0)
-    # prod over active q == cp at the last active lane == min of the
-    # (non-increasing) masked cumprod; Mosaic has no reduce_prod
-    t_next = t_carry * jnp.min(jnp.where(active, cp, 1.0), axis=1,
-                               keepdims=True)
+    # full-chunk q product == cp at the last lane == min of the
+    # (non-increasing) cumprod; Mosaic has no reduce_prod
+    t_next = t_carry * jnp.min(cp, axis=1, keepdims=True)
+    # prod over ACTIVE q only: the blended-only T update factor
+    blend_factor = jnp.min(jnp.where(active, cp, 1.0), axis=1,
+                           keepdims=True)
     return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, opa=opa,
                 g_exp=g_exp, raw=raw, alpha=alpha, active=active,
-                q=q, p_incl=p_incl, p_excl=p_excl, w=w, t_next=t_next)
+                q=q, p_incl=p_incl, p_excl=p_excl, w=w, t_next=t_next,
+                blend_factor=blend_factor)
 
 
 def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
@@ -176,29 +212,32 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
     px, py = _pixel_coords(t, grid_x)
 
     def cond(c):
-        k, t_carry, acc = c
-        return (start + k * K < end) & (jnp.max(t_carry) >= T_EPS)
+        k, t_all, t_blend, acc = c
+        # t_all is monotone non-increasing, so this early exit actually
+        # fires once every pixel has stopped
+        return (start + k * K < end) & (jnp.max(t_all) >= T_EPS)
 
     def body(c):
-        k, t_carry, acc = c
+        k, t_all, t_blend, acc = c
         off = pl.multiple_of(start + k * K, K)
         dma = pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch, sem)
         dma.start()
         dma.wait()
         f = scratch[:]
-        ck = _chunk_common(f, px, py, off, end, t_carry)
+        ck = _chunk_common(f, px, py, off, end, t_all)
         fout = f[6:6 + n_out, :]              # (n_out, K)
         acc = acc + jax.lax.dot_general(
             ck["w"], fout, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return k + 1, ck["t_next"], acc
+        return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, n_out), jnp.float32))
-    _, t_carry, acc = jax.lax.while_loop(cond, body, init)
+    _, _, t_blend, acc = jax.lax.while_loop(cond, body, init)
     out_ref[0, :, :n_out] = acc
-    out_ref[0, :, n_out:n_out + 1] = t_carry
+    out_ref[0, :, n_out:n_out + 1] = t_blend
     out_ref[0, :, n_out + 1:] = jnp.zeros(
         (PIX, out_ref.shape[-1] - n_out - 1), jnp.float32)
 
@@ -222,14 +261,14 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
     n_chunks = pl.cdiv(end - start, K)
 
     def body(c):
-        k, t_carry, prefix = c
+        k, t_all, prefix = c
         off = pl.multiple_of(start + k * K, K)
         dma = pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch, sem_in)
         dma.start()
         dma.wait()
         f = scratch[:]
-        ck = _chunk_common(f, px, py, off, end, t_carry)
+        ck = _chunk_common(f, px, py, off, end, t_all)
         w, q, active = ck["w"], ck["q"], ck["active"]
         fout = f[6:6 + n_out, :]
 
@@ -279,8 +318,8 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
     # grads past the cutoff are zero — the CUDA backward skips them via
     # last_contributor, ref:backward.cu:527-529)
     def cond(c):
-        k, t_carry, _ = c
-        return (k < n_chunks) & (jnp.max(t_carry) >= T_EPS)
+        k, t_all, _ = c
+        return (k < n_chunks) & (jnp.max(t_all) >= T_EPS)
 
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32))

@@ -22,6 +22,7 @@ reference's NDC-scaled stat (ref:cuda_rasterizer/backward.cu:498-499).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -60,20 +61,38 @@ def _grid(cam: Camera):
 
 def suggest_instance_budget(scene: GaussianScene, cams, *,
                             margin: float = 1.5,
-                            minimum: int = 1 << 15) -> int:
+                            minimum: int = 1 << 15,
+                            align: int = 0) -> int:
     """Pick max_instances as the next power of two above the actual
     instance count (with headroom). Binning, packing, and the gradient
     scatter all scale with the *budget*, not the true count, so a tight
     budget is a direct throughput win; the CUDA reference sizes these
     buffers dynamically per frame (ref:rasterizer_impl.cu:155-230) —
     on TPU shapes are static, so re-jit when the scene outgrows the
-    budget (training loops call this every few hundred steps)."""
+    budget (training loops call this every few hundred steps).
+
+    align: the Pallas backend K-aligns every tile segment, which can
+    demand up to num_tiles*(align-1) extra slots beyond the raw count —
+    pass align=pallas_blend.K (the render() path uses it automatically)
+    so the budget covers the exact aligned demand."""
     if not isinstance(cams, (list, tuple)):
         cams = [cams]
+
+    # one fused program per camera: eager per-op dispatch here is slow
+    # (and can stall tunneled backends)
+    @partial(jax.jit, static_argnames=("gx", "gy"))
+    def need_fn(scene, cam, *, gx, gy):
+        sp = preprocess(scene, cam)
+        if align:
+            from goi_tpu.raster.binning import tile_counts
+            counts = tile_counts(sp, grid_x=gx, grid_y=gy)
+            return jnp.sum((counts + align - 1) // align * align)
+        return jnp.sum(sp.tiles_touched)
+
     worst = 0
     for cam in cams:
-        sp = preprocess(scene, cam)
-        worst = max(worst, int(jnp.sum(sp.tiles_touched)))
+        gx, gy = _grid(cam)
+        worst = max(worst, int(need_fn(scene, cam, gx=gx, gy=gy)))
     want = max(int(worst * margin) + 1, minimum)
     return 1 << (want - 1).bit_length()
 
@@ -148,6 +167,9 @@ def render(
         "radii": sp.radius,
         "visibility_filter": sp.radius > 0,
         "num_instances": binning.num_instances,
+        # buffer slots demanded (incl. Pallas K-alignment padding);
+        # > config.max_instances means instances were truncated
+        "num_slots": binning.num_slots,
     }
     if config.debug:
         # kernel forensics (role of the reference's --debug CPU snapshot
@@ -235,7 +257,9 @@ def trace(
         1, 0)
 
     def step(carry, inp):
-        t_cur, gau_sem, n_hits = carry
+        # t_all multiplies every valid q so the T<1e-4 stop is sticky
+        # across chunks (see raster/blend.py)
+        t_all, gau_sem, n_hits = carry
         g, m = inp
         xy = sp.mean2d[g]
         con = sp.conic[g]
@@ -250,7 +274,7 @@ def trace(
         valid = (m[:, None, :] & pix_ok[:, :, None]
                  & (power <= 0.0) & (alpha >= ALPHA_MIN))
         q = jnp.where(valid, 1.0 - alpha, 1.0)
-        p_incl = t_cur[:, :, None] * jnp.cumprod(q, axis=-1)
+        p_incl = t_all[:, :, None] * jnp.cumprod(q, axis=-1)
         active = valid & (p_incl >= T_EPS)
         hit = active & (alpha > 0.005)                      # (T, 256, K)
         # per-instance sums over the tile's pixels
@@ -260,8 +284,7 @@ def trace(
         gau_sem = gau_sem.at[g.reshape(-1)].add(
             inst_sem.reshape(-1, S))
         n_hits = n_hits.at[g.reshape(-1)].add(inst_cnt.reshape(-1))
-        t_cur = t_cur * jnp.prod(jnp.where(active, q, 1.0), axis=-1)
-        return (t_cur, gau_sem, n_hits), None
+        return (p_incl[:, :, -1], gau_sem, n_hits), None
 
     t0 = jnp.ones((num_tiles, TILE * TILE), jnp.float32)
     (t_final, gau_sem, n_hits), _ = jax.lax.scan(
