@@ -123,22 +123,29 @@ def read_images_binary(path) -> Dict[int, ColmapImage]:
 
 
 def read_images_text(path) -> Dict[int, ColmapImage]:
+    # COLMAP writes an EMPTY points2D line for images with zero 2D
+    # points, so the points2D record is the line immediately following
+    # each header — consumed unconditionally, possibly blank
+    # (ref:scene/colmap_loader.py:252). Pre-filtering blank lines would
+    # desynchronize the header/points pairing.
     out = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for i in range(0, len(lines), 2):
-        parts = lines[i].split()
-        iid = int(parts[0])
-        qvec = np.array(tuple(map(float, parts[1:5])))
-        tvec = np.array(tuple(map(float, parts[5:8])))
-        cam_id = int(parts[8])
-        name = parts[9]
-        elems = lines[i + 1].split() if i + 1 < len(lines) else []
-        xys = np.array(tuple(map(float, elems))).reshape(-1, 3) \
-            if elems else np.zeros((0, 3))
-        out[iid] = ColmapImage(iid, qvec, tvec, cam_id, name,
-                               xys[:, :2], xys[:, 2].astype(np.int64))
+        it = iter(f)
+        for raw in it:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            iid = int(parts[0])
+            qvec = np.array(tuple(map(float, parts[1:5])))
+            tvec = np.array(tuple(map(float, parts[5:8])))
+            cam_id = int(parts[8])
+            name = parts[9]
+            elems = next(it, "").strip().split()
+            xys = np.array(tuple(map(float, elems))).reshape(-1, 3) \
+                if elems else np.zeros((0, 3))
+            out[iid] = ColmapImage(iid, qvec, tvec, cam_id, name,
+                                   xys[:, :2], xys[:, 2].astype(np.int64))
     return out
 
 

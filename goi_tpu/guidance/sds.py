@@ -7,7 +7,7 @@ external artifacts (the reference downloads them from HF; this
 environment has no egress), so the SDS machinery is factored against a
 `DiffusionBackend` protocol:
 
-  encode_images(imgs)    (B,3,512,512) -> latents (B,4,64,64)
+  encode_images(imgs)    (B,3,img,img) -> latents (B,4,img/8,img/8)
   unet_eps(latent_in, t, cond)  noise prediction
   alphas                 cumulative alpha schedule (T,)
 
@@ -43,8 +43,10 @@ class InpaintSDS:
 
     def __init__(self, backend: DiffusionBackend,
                  pos_embedding: jax.Array, neg_embedding: jax.Array,
-                 t_range=(0.02, 0.98), latent_size: int = 64):
+                 t_range=(0.02, 0.98), latent_size: int = 64,
+                 img_size: int = 512):
         self.backend = backend
+        self.img_size = img_size
         self.pos = pos_embedding
         self.neg = neg_embedding
         T = backend.num_train_timesteps
@@ -70,13 +72,18 @@ class InpaintSDS:
         binary (1 = editable). Returns the scalar SDS loss
         (ref:sd_inpainting_utils.py:124-308)."""
         b = images.shape[0]
-        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
-        m512 = (jax.image.resize(masks, (b, 1, 512, 512), "bilinear")
+        r = self.img_size
+        imgs512 = jax.image.resize(images, (b, 3, r, r), "bilinear")
+        m512 = (jax.image.resize(masks, (b, 1, r, r), "bilinear")
                 >= 0.5).astype(images.dtype)
 
         latents = self.backend.encode_images(imgs512 * 2.0 - 1.0)
+        # normalize FIRST, then mask, so masked pixels are 0 in the
+        # normalized space (ref:guidance/sd_inpainting_utils.py:398-408;
+        # the reference comment warns against mask-then-normalize, which
+        # would feed -1 "black" into the 9-channel inpaint UNet)
         masked_latents = jax.lax.stop_gradient(
-            self.backend.encode_images((imgs512 * (1 - m512)) * 2 - 1))
+            self.backend.encode_images((imgs512 * 2.0 - 1.0) * (1 - m512)))
         ls = self.latent_size
         m_lat = (jax.image.resize(m512, (b, 1, ls, ls), "nearest"))
 
@@ -116,16 +123,18 @@ class PlainSDS:
 
     def __init__(self, backend: DiffusionBackend,
                  pos_embedding: jax.Array, neg_embedding: jax.Array,
-                 t_range=(0.02, 0.98), latent_size: int = 64):
+                 t_range=(0.02, 0.98), latent_size: int = 64,
+                 img_size: int = 512):
         self._inner = InpaintSDS(backend, pos_embedding, neg_embedding,
-                                 t_range, latent_size)
+                                 t_range, latent_size, img_size)
 
     def train_step(self, key, images: jax.Array, *,
                    step_ratio: Optional[float] = None,
                    guidance_scale: float = 7.5) -> jax.Array:
         b = images.shape[0]
         s = self._inner
-        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        r = s.img_size
+        imgs512 = jax.image.resize(images, (b, 3, r, r), "bilinear")
         latents = s.backend.encode_images(imgs512 * 2.0 - 1.0)
         key, kt, kn = jax.random.split(key, 3)
         t = s._pick_t(kt, b, step_ratio)
@@ -165,7 +174,8 @@ class VSD:
 
     def _latents(self, images):
         b = images.shape[0]
-        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        r = self._s.img_size
+        imgs512 = jax.image.resize(images, (b, 3, r, r), "bilinear")
         return self.backend.encode_images(imgs512 * 2.0 - 1.0)
 
     def train_step(self, key, lora_params, images, *,
@@ -231,7 +241,8 @@ class CDS:
                    guidance_scale: float = 100.0):
         s = self._s
         b = images.shape[0]
-        imgs512 = jax.image.resize(images, (b, 3, 512, 512), "bilinear")
+        r = s.img_size
+        imgs512 = jax.image.resize(images, (b, 3, r, r), "bilinear")
         latents = self.backend.encode_images(imgs512 * 2.0 - 1.0)
         T = self.backend.num_train_timesteps
 

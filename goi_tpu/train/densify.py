@@ -112,6 +112,13 @@ def densify_and_prune(
     def rank_to_slot(r):
         return slot_of_rank[jnp.minimum(r, n - 1)]
 
+    # Overflow gating: when free capacity runs out, ranks >= num_free
+    # map out of bounds and their scatters drop. A split whose children
+    # would be dropped must NOT prune its parent (otherwise the
+    # highest-gradient Gaussians are silently destroyed) — gate the
+    # whole split on its LAST child rank fitting.
+    split_ok = split_mask & (n_clone + 2 * s_rank + 1 < num_free)
+
     params = scene.params()
 
     # clones: exact copies (ref::480-494)
@@ -126,7 +133,7 @@ def densify_and_prune(
         eps = jax.random.normal(sub, (n, 3)) * scaling
         new_xyz = scene.xyz + jnp.einsum("nij,nj->ni", rot, eps)
         child_rank = n_clone + 2 * s_rank + child
-        s_slots = jnp.where(split_mask, rank_to_slot(child_rank), n)
+        s_slots = jnp.where(split_ok, rank_to_slot(child_rank), n)
         child_rows = dict(params)
         child_rows["xyz"] = new_xyz
         child_rows["scaling"] = jnp.log(scaling / (0.8 * 2))
@@ -135,14 +142,15 @@ def densify_and_prune(
     # validity of newly written slots
     all_slots = jnp.concatenate([
         c_slots,
-        jnp.where(split_mask, rank_to_slot(n_clone + 2 * s_rank), n),
-        jnp.where(split_mask, rank_to_slot(n_clone + 2 * s_rank + 1), n),
+        jnp.where(split_ok, rank_to_slot(n_clone + 2 * s_rank), n),
+        jnp.where(split_ok, rank_to_slot(n_clone + 2 * s_rank + 1), n),
     ])
     new_valid = scene.valid.at[all_slots].set(True, mode="drop")
 
-    # prune: split parents + low opacity + oversized (ref::496-508)
+    # prune: split parents (only those whose children were written) +
+    # low opacity + oversized (ref::496-508)
     opacity = jax.nn.sigmoid(new_tree["opacity"][:, 0])
-    prune = split_mask | (opacity < min_opacity)
+    prune = split_ok | (opacity < min_opacity)
     if max_screen_size:
         prune = prune | (stats.max_radii > max_screen_size) \
             | (max_scale > 0.1 * extent)
@@ -174,6 +182,31 @@ def densify_and_prune(
             n_clone + 2 * n_split - num_free, 0),
     }
     return new_scene, new_opt, DensifyStats.create(n), info
+
+
+def grow_capacity(scene: GaussianScene, opt_state,
+                  stats: DensifyStats, new_capacity: int):
+    """Host-side capacity growth: pad every per-Gaussian leaf (scene
+    params, validity, optimizer moments, densify stats) from the current
+    capacity to `new_capacity`. The CUDA reference reallocates tensors
+    freely (ref:scene/gaussian_model.py:432-452); under XLA shapes are
+    static, so growth re-jits — call this only when densify_and_prune
+    reports overflow."""
+    n = scene.capacity
+    assert new_capacity >= n
+
+    def pad_leaf(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 \
+                and leaf.shape[0] == n:
+            cfg = [(0, new_capacity - n)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, cfg)  # zeros: invalid + zero moments
+        return leaf
+
+    new_scene = scene.replace(
+        valid=pad_leaf(scene.valid),
+        **{k: pad_leaf(v) for k, v in scene.params().items()})
+    return (new_scene, jax.tree.map(pad_leaf, opt_state),
+            jax.tree.map(pad_leaf, stats))
 
 
 @jax.jit

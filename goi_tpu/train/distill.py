@@ -77,8 +77,9 @@ def create_distill_state(
             sem_flat = out["semantics"].reshape(s, h * w).T
             gt_flat = gt_features.reshape(gt_features.shape[0], -1).T
             anneal_t = jnp.where(state.step < 1000, 1.0, 2.0)
-            return distillation_loss(decoder, lut, sem_flat, gt_flat,
-                                     anneal_t)
+            loss, aux = distillation_loss(decoder, lut, sem_flat,
+                                          gt_flat, anneal_t)
+            return loss, dict(aux, num_slots=out["num_slots"])
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
@@ -166,6 +167,14 @@ def train_distillation(
                       float(aux["total"]), it)
             tb.scalar("iter_time", timer.ms, it)
         if it % log_every == 1 or it == iterations:
+            slots = int(aux["num_slots"])
+            if slots > raster_cfg.max_instances:
+                new_budget = 1 << int(slots * 1.5 - 1).bit_length()
+                print(f"[goi_tpu] instance budget overflow ({slots} > "
+                      f"{raster_cfg.max_instances}); rebudgeting to "
+                      f"{new_budget} (re-jit)")
+                raster_cfg = dataclasses.replace(
+                    raster_cfg, max_instances=new_budget)
             loss = float(aux["total"])
             ema = 0.4 * loss + 0.6 * (ema or loss)
             print(f"iter {it}, sem_loss: {loss:.6f} "

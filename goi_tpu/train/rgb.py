@@ -25,7 +25,8 @@ from goi_tpu.core.scene import GaussianScene
 from goi_tpu.eval.metrics import l1_loss, ssim
 from goi_tpu.raster import RasterConfig, render
 from goi_tpu.train.densify import (DensifyStats, add_stats,
-                                   densify_and_prune, reset_opacity)
+                                   densify_and_prune, grow_capacity,
+                                   reset_opacity)
 from goi_tpu.train.optim import OptimConfig, make_full_training_optimizer
 
 
@@ -63,11 +64,12 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
             s = ssim(img, gt_image)
             loss = (1.0 - cfg.lambda_dssim) * ll1 \
                 + cfg.lambda_dssim * (1.0 - s)
-            return loss, (out["radii"], ll1)
+            return loss, (out["radii"], ll1, out["num_slots"])
 
-        (loss, (radii, ll1)), (g_params, g_mean2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-            state.scene.params(), offset0)
+        (loss, (radii, ll1, num_slots)), (g_params, g_mean2d) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                state.scene.params(), offset0)
 
         updates, opt_state = tx.update(g_params, state.opt_state,
                                        state.scene.params())
@@ -77,7 +79,8 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
                           cam.width, cam.height)
         new = RGBTrainState(scene=scene, opt_state=opt_state,
                             stats=stats, step=state.step + 1)
-        return new, {"loss": loss, "l1": ll1, "radii_max": radii.max()}
+        return new, {"loss": loss, "l1": ll1, "radii_max": radii.max(),
+                     "num_slots": num_slots}
 
     def densify_fn(state: RGBTrainState, key, extent: float,
                    max_screen_size: int = 0) -> Tuple[RGBTrainState, dict]:
@@ -137,6 +140,31 @@ def train_rgb(
             key, sub = jax.random.split(key)
             mss = 20 if it > cfg.opacity_reset_interval else 0
             state, dinfo = densify_fn(state, sub, scene_extent, mss)
+            # ---- overflow hardening (a densifying scene can quietly
+            # outgrow both the Gaussian capacity and the instance
+            # budget; detect and re-budget instead of degrading) ----
+            if int(dinfo["overflow"]) > 0:
+                new_cap = max(int(state.scene.capacity * 1.5),
+                              state.scene.capacity + 1024)
+                print(f"[goi_tpu] densify overflow "
+                      f"({int(dinfo['overflow'])} dropped); growing "
+                      f"capacity {state.scene.capacity} -> {new_cap} "
+                      f"(re-jit)")
+                sc, op, st = grow_capacity(
+                    state.scene, state.opt_state, state.stats, new_cap)
+                state = RGBTrainState(scene=sc, opt_state=op, stats=st,
+                                      step=state.step)
+            slots = int(aux["num_slots"])
+            if slots > raster_cfg.max_instances:
+                new_budget = 1 << int(slots * 1.5 - 1).bit_length()
+                print(f"[goi_tpu] instance budget overflow ({slots} > "
+                      f"{raster_cfg.max_instances}); rebudgeting to "
+                      f"{new_budget} (re-jit)")
+                raster_cfg = dataclasses.replace(
+                    raster_cfg, max_instances=new_budget)
+                _, step_fn, densify_fn = create_rgb_trainer(
+                    cfg, raster_cfg, spatial_lr_scale=scene_extent)
+                step_jit = jax.jit(step_fn)
         if it % cfg.opacity_reset_interval == 0:
             new_scene, new_opt = reset_jit(state.scene, state.opt_state)
             state = dataclasses.replace(state, scene=new_scene,
