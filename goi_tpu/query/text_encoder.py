@@ -10,6 +10,10 @@ produced offline and served from a store; the tiny aligner runs in JAX
 
 Providers:
   PrecomputedTextEncoder  prompt -> embedding from an .npz file
+  JaxCLIPTextEncoder      live in-loop JAX text transformer with
+                          pluggable converted weights
+                          (goi_tpu/query/clip_text.py) — arbitrary
+                          prompts with no offline step
   TorchEVA02TextEncoder   live tower via torch-CPU, if the user supplies
                           the checkpoint + the eva02 CLIP library
 """
