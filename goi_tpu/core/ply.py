@@ -90,9 +90,11 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def write_ply(path: str, props: Dict[str, np.ndarray]) -> None:
+def write_ply(path: str, props: Dict[str, np.ndarray],
+              faces: np.ndarray = None) -> None:
     """Write a binary_little_endian PLY with one 'vertex' element whose
-    properties appear in dict insertion order."""
+    properties appear in dict insertion order; optional (F, 3) triangle
+    'face' element (vertex_indices list property)."""
     names = list(props)
     n = len(props[names[0]])
     dtype = np.dtype(
@@ -107,10 +109,19 @@ def write_ply(path: str, props: Dict[str, np.ndarray]) -> None:
     for k in names:
         lines.append(
             f"property {_NUMPY_TO_PLY[np.dtype(props[k].dtype).str[-2:]]} {k}")
+    if faces is not None:
+        lines += [f"element face {len(faces)}",
+                  "property list uchar int vertex_indices"]
     lines.append("end_header")
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n").encode("ascii"))
         f.write(arr.tobytes())
+        if faces is not None:
+            fdtype = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+            farr = np.empty(len(faces), fdtype)
+            farr["n"] = 3
+            farr["idx"] = np.asarray(faces, np.int32)
+            f.write(farr.tobytes())
 
 
 # ---------------------------------------------------------------------------

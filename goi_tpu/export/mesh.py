@@ -40,6 +40,7 @@ def density_grid(scene: GaussianScene, resolution: int = 128,
     else:
         lo, hi = bounds
     voxel = (hi - lo) / resolution
+    chunk = min(chunk, resolution)
     axes = jnp.linspace(lo + voxel / 2, hi - voxel / 2, resolution)
 
     opa = scene.get_opacity()[:, 0] * scene.valid
