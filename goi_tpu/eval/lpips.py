@@ -41,12 +41,37 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def normalize_lpips_state(raw: Dict[str, np.ndarray]
+                          ) -> Dict[str, np.ndarray]:
+    """Accept the REAL `lpips` package state_dict layout and map it to
+    the canonical keys used here.
+
+    lpips.LPIPS(net='alex').state_dict() keys:
+      net.slice{k}.{orig_idx}.weight/.bias   (Sequential keeps the
+          torchvision feature indices: 0, 3, 6, 8, 10)
+      lin{i}.model.1.weight                  (model.0 without dropout)
+    Canonical: net.slice{k}.conv.weight/.bias and lin{i}.model.1.weight.
+    """
+    out = {}
+    for k, v in raw.items():
+        v = np.asarray(v, np.float32)
+        parts = k.split(".")
+        if parts[0] == "net" and parts[1].startswith("slice") \
+                and parts[2].isdigit():
+            out[f"net.{parts[1]}.conv.{parts[3]}"] = v
+        elif parts[0].startswith("lin") and parts[1] == "model":
+            out[f"{parts[0]}.model.1.{parts[3]}"] = v
+        else:
+            out[k] = v
+    return out
+
+
 @lru_cache(maxsize=1)
 def _load_weights() -> Optional[Dict[str, np.ndarray]]:
     path = os.environ.get("GOI_LPIPS_WEIGHTS", "models/lpips_alex.npz")
     if not os.path.exists(path):
         return None
-    return dict(np.load(path))
+    return normalize_lpips_state(dict(np.load(path)))
 
 
 def _conv(x, w, b, stride, pad):
