@@ -45,8 +45,9 @@ def main():
             rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
+    from goi_tpu.raster.pallas_blend import K
     from goi_tpu.raster.render import suggest_instance_budget
-    budget = suggest_instance_budget(scene, cam)
+    budget = suggest_instance_budget(scene, cam, align=K)
     cfg = RasterConfig(max_instances=budget, backend="pallas")
 
     tgt_c = jnp.zeros((3, height, width))
