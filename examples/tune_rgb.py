@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--init-scale", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tag", type=str, default="run")
+    ap.add_argument("--stat-every", type=int, default=10 ** 9)
     args = ap.parse_args()
     W, H = map(int, args.wh.split("x"))
 
@@ -106,12 +107,26 @@ def main():
         opacity_lr=args.opacity_lr,
         scaling_lr=args.scaling_lr,
     )
+    def stat_cb(it, st, aux):
+        if it % args.stat_every:
+            return
+        sc = st.scene
+        v = np.asarray(sc.valid)
+        op = 1 / (1 + np.exp(-np.asarray(sc.opacity[:, 0])))[v]
+        sca = np.exp(np.asarray(sc.scaling)).max(axis=1)[v]
+        r = np.linalg.norm(np.asarray(sc.xyz), axis=1)[v]
+        print(f"  stat {it}: op[{op.min():.2e},{np.median(op):.3f},"
+              f"{op.max():.4f}] scale[{np.median(sca):.4f},"
+              f"{sca.max():.3f}] |xyz|max {r.max():.2f} "
+              f"gnorm {float(aux['gnorm']):.3e} "
+              f"loss {float(aux['loss']):.5f}", flush=True)
+
     state = train_rgb(
         start, [cams[i] for i in train_idx],
         [images[i] for i in train_idx],
         cfg=ocfg, raster_cfg=cfg, iterations=args.iters,
         scene_extent=args.extent, seed=args.seed,
-        log_every=max(args.iters // 10, 1))
+        log_every=max(args.iters // 10, 1), callback=stat_cb)
     trained = state.scene
 
     ps = [float(psnr(render(trained, cams[i], bg, cfg)["render"],

@@ -91,8 +91,11 @@ class GaussianScene:
         return jax.nn.sigmoid(self.opacity)
 
     def get_rotation(self) -> jax.Array:
-        n = jnp.linalg.norm(self.rotation, axis=-1, keepdims=True)
-        return self.rotation / jnp.maximum(n, 1e-12)
+        # clamp the SQUARED norm: for |q| ~ 1e-30 the square underflows
+        # to 0 in fp32 and sqrt's VJP at 0 is inf -> NaN gradients
+        n2 = jnp.sum(self.rotation * self.rotation, axis=-1,
+                     keepdims=True)
+        return self.rotation / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
     def get_features(self) -> jax.Array:
         """(N, (deg+1)^2, 3) stacked SH coefficients."""

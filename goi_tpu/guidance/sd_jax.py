@@ -293,6 +293,34 @@ def vae_encode(p: dict, cfg: SDConfig, img: jax.Array,
     return mean * cfg.scaling_factor
 
 
+def vae_decode(p: dict, cfg: SDConfig, latents: jax.Array) -> jax.Array:
+    """Scaled latents (B, latent_ch, h, w) -> image (B, 3, 8h, 8w) in
+    [-1, 1]. Mirrors diffusers AutoencoderKL.decode (post_quant_conv +
+    Decoder: conv_in / mid / 4 up blocks of layers_per_block+1 resnets
+    with nearest-2x upsample). The reference calls this for inpaint
+    sampling and guidance previews (ref:guidance/
+    sd_inpainting_lods_utils.py:403-409, zero123_utils.py:174-180)."""
+    ch = cfg.vae_block_out_channels
+    g = cfg.norm_groups
+    x = latents / cfg.scaling_factor
+    x = _conv(p, "post_quant_conv", x, pad=0)
+    x = _conv(p, "decoder.conv_in", x)
+    x = _resnet(p, "decoder.mid_block.resnets.0", x, None, g)
+    x = _vae_attn(p, "decoder.mid_block.attentions.0", x, g)
+    x = _resnet(p, "decoder.mid_block.resnets.1", x, None, g)
+    rev = list(reversed(ch))
+    for i in range(len(rev)):
+        blk = f"decoder.up_blocks.{i}"
+        for j in range(cfg.vae_layers_per_block + 1):
+            x = _resnet(p, f"{blk}.resnets.{j}", x, None, g)
+        if i < len(rev) - 1:
+            b_, c_, h_, w_ = x.shape
+            x = jax.image.resize(x, (b_, c_, h_ * 2, w_ * 2), "nearest")
+            x = _conv(p, f"{blk}.upsamplers.0.conv", x)
+    x = _group_norm(p, "decoder.conv_norm_out", x, g)
+    return _conv(p, "decoder.conv_out", _silu(x))
+
+
 # ---------------------------------------------------------------------------
 # init (tests / from-scratch) + diffusers conversion
 # ---------------------------------------------------------------------------
@@ -433,6 +461,28 @@ def _vae_shapes(cfg: SDConfig) -> dict:
     conv("encoder.conv_out", 2 * cfg.latent_channels, ci)
     conv("quant_conv", 2 * cfg.latent_channels,
          2 * cfg.latent_channels, ks=1)
+
+    # decoder (mirror of the encoder; diffusers Decoder layout)
+    conv("post_quant_conv", cfg.latent_channels, cfg.latent_channels,
+         ks=1)
+    rev = list(reversed(ch))
+    conv("decoder.conv_in", rev[0], cfg.latent_channels)
+    resnet("decoder.mid_block.resnets.0", rev[0], rev[0])
+    k = "decoder.mid_block.attentions.0"
+    norm(k + ".group_norm", rev[0])
+    for nm in ("to_q", "to_k", "to_v", "to_out.0"):
+        s[k + f".{nm}.weight"] = (rev[0], rev[0])
+        s[k + f".{nm}.bias"] = (rev[0],)
+    resnet("decoder.mid_block.resnets.1", rev[0], rev[0])
+    ci = rev[0]
+    for i, co in enumerate(rev):
+        for j in range(cfg.vae_layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", ci, co)
+            ci = co
+        if i < len(rev) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", ci, ci)
+    norm("decoder.conv_norm_out", ci)
+    conv("decoder.conv_out", 3, ci)
     return s
 
 
@@ -471,7 +521,9 @@ class JaxDiffusionBackend:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.alphas = alphas_cumprod(cfg)
         self.num_train_timesteps = cfg.num_train_timesteps
+        self.scaling_factor = cfg.scaling_factor
         self._enc = jax.jit(lambda p, x: vae_encode(p, cfg, x))
+        self._dec = jax.jit(lambda p, z: vae_decode(p, cfg, z))
         self._unet = jax.jit(
             lambda p, x, t, c: unet_forward(p, cfg, x, t, c))
 
@@ -485,3 +537,9 @@ class JaxDiffusionBackend:
     def unet_eps(self, latent_in: jax.Array, t: jax.Array,
                  cond: jax.Array) -> jax.Array:
         return self._unet(self.params, latent_in, t, cond)
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        """Scaled latents -> images in [0, 1]
+        (ref:guidance/sd_inpainting_utils.py decode_latents)."""
+        return jnp.clip(self._dec(self.params, latents) / 2 + 0.5,
+                        0.0, 1.0)

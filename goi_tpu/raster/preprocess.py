@@ -47,21 +47,30 @@ class Splats:
     valid: jax.Array         # (N,) bool
 
 
-def compute_cov2d(p_orig: jax.Array, cov3d: jax.Array, cam: Camera):
+def compute_cov2d(p_orig: jax.Array, cov3d: jax.Array, cam: Camera,
+                  in_front: Optional[jax.Array] = None):
     """EWA projection of the world covariance to screen space
     (ref:cuda_rasterizer/forward.cu:73-113): clamp the view-space point to
     1.3*tan_fov, J @ R @ Sigma @ R^T @ J^T, +0.3 low-pass on the diagonal.
+
+    `in_front` masks rows culled by the near plane: their view z is
+    replaced by 1 BEFORE any division so the VJP stays finite. The CUDA
+    kernels simply skip culled threads; under autodiff a forward-masked
+    1/z still back-propagates NaN from z=0 (the where-grad trap), and a
+    single NaN gradient permanently corrupts that Gaussian's Adam
+    moments — observed as progressive scene collapse in long RGB runs.
 
     Returns (N, 3) packed (cov_xx, cov_xy, cov_yy)."""
     W = cam.world_view[:3, :3]
     t = p_orig @ W.T + cam.world_view[:3, 3]
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
-    txtz = t[:, 0] / t[:, 2]
-    tytz = t[:, 1] / t[:, 2]
-    tx = jnp.clip(txtz, -limx, limx) * t[:, 2]
-    ty = jnp.clip(tytz, -limy, limy) * t[:, 2]
-    tz = t[:, 2]
+    tz = t[:, 2] if in_front is None else jnp.where(
+        in_front, t[:, 2], 1.0)
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
 
     fx, fy = cam.focal_x, cam.focal_y
     # J is the 2x3 projective Jacobian at the clamped point.
@@ -108,18 +117,21 @@ def preprocess(
     ones = jnp.ones_like(xyz[:, :1])
     hom = jnp.concatenate([xyz, ones], axis=-1)
     p_clip = hom @ cam.full_proj.T
-    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
-    p_proj = p_clip[:, :3] * p_w[:, None]
     p_view_z = hom @ cam.world_view[2].T
 
     in_front = p_view_z > NEAR_Z  # ref:auxiliary.h:154
+
+    # safe-where the perspective division: culled rows (w ~ 0) must not
+    # leak NaN into the backward pass (see compute_cov2d docstring)
+    p_w = 1.0 / jnp.where(in_front, p_clip[:, 3] + 1e-7, 1.0)
+    p_proj = p_clip[:, :3] * p_w[:, None]
 
     if cov3d_precomp is None:
         cov3d = build_cov3d(scene.get_scaling() * scaling_modifier,
                             scene.get_rotation())
     else:
         cov3d = cov3d_precomp
-    cov2d = compute_cov2d(xyz, cov3d, cam)
+    cov2d = compute_cov2d(xyz, cov3d, cam, in_front=in_front)
 
     det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
     det_ok = det != 0.0

@@ -71,6 +71,12 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
                 loss_fn, argnums=(0, 1), has_aux=True)(
                 state.scene.params(), offset0)
 
+        # gnorm is reported on the RAW grads (a NaN here means a bug in
+        # the render backward); the applied grads are sanitized so one
+        # degenerate sample can never permanently poison Adam moments.
+        gnorm = optax.global_norm(g_params)
+        g_params = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), g_params)
         updates, opt_state = tx.update(g_params, state.opt_state,
                                        state.scene.params())
         scene = state.scene.with_params(
@@ -80,7 +86,7 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
         new = RGBTrainState(scene=scene, opt_state=opt_state,
                             stats=stats, step=state.step + 1)
         return new, {"loss": loss, "l1": ll1, "radii_max": radii.max(),
-                     "num_slots": num_slots}
+                     "num_slots": num_slots, "gnorm": gnorm}
 
     def densify_fn(state: RGBTrainState, key, extent: float,
                    max_screen_size: int = 0) -> Tuple[RGBTrainState, dict]:
@@ -154,17 +160,23 @@ def train_rgb(
                     state.scene, state.opt_state, state.stats, new_cap)
                 state = RGBTrainState(scene=sc, opt_state=op, stats=st,
                                       step=state.step)
-            slots = int(aux["num_slots"])
-            if slots > raster_cfg.max_instances:
-                new_budget = 1 << int(slots * 1.5 - 1).bit_length()
-                print(f"[goi_tpu] instance budget overflow ({slots} > "
-                      f"{raster_cfg.max_instances}); rebudgeting to "
-                      f"{new_budget} (re-jit)")
-                raster_cfg = dataclasses.replace(
-                    raster_cfg, max_instances=new_budget)
-                _, step_fn, densify_fn = create_rgb_trainer(
-                    cfg, raster_cfg, spatial_lr_scale=scene_extent)
-                step_jit = jax.jit(step_fn)
+        # ---- instance-budget hardening, EVERY iteration: scales keep
+        # growing after densification ends, so the aligned demand can
+        # cross the budget at any point in training; past the budget
+        # the deepest instances are silently truncated and the loss
+        # collapses (observed: clean 7k-iter run diverged at ~iter 4700
+        # exactly when num_slots crossed max_instances). ----
+        slots = int(aux["num_slots"])
+        if slots > raster_cfg.max_instances:
+            new_budget = 1 << int(slots * 1.5 - 1).bit_length()
+            print(f"[goi_tpu] instance budget overflow ({slots} > "
+                  f"{raster_cfg.max_instances}); rebudgeting to "
+                  f"{new_budget} (re-jit)")
+            raster_cfg = dataclasses.replace(
+                raster_cfg, max_instances=new_budget)
+            _, step_fn, densify_fn = create_rgb_trainer(
+                cfg, raster_cfg, spatial_lr_scale=scene_extent)
+            step_jit = jax.jit(step_fn)
         if it % cfg.opacity_reset_interval == 0:
             new_scene, new_opt = reset_jit(state.scene, state.opt_state)
             state = dataclasses.replace(state, scene=new_scene,
@@ -172,7 +184,9 @@ def train_rgb(
         if it % log_every == 0:
             print(f"iter {it}: loss {float(aux['loss']):.5f} "
                   f"l1 {float(aux['l1']):.5f} "
-                  f"n_valid {int(state.scene.num_valid)}")
+                  f"n_valid {int(state.scene.num_valid)} "
+                  f"slots {slots} radii_max {int(aux['radii_max'])}",
+                  flush=True)
         if callback is not None:
             callback(it, state, aux)
     return state

@@ -8,7 +8,8 @@ import numpy as np
 
 from goi_tpu.guidance.sd_jax import (JaxDiffusionBackend, SDConfig,
                                      alphas_cumprod, init_sd_params,
-                                     unet_forward, vae_encode)
+                                     unet_forward, vae_decode,
+                                     vae_encode)
 from goi_tpu.guidance.sds import InpaintSDS
 
 TINY = SDConfig(
@@ -40,6 +41,9 @@ def test_unet_vae_shapes_and_full_param_use():
                        jnp.zeros((2, 7, 24)))
     assert eps.shape == (2, 4, 32, 32)
     assert np.isfinite(np.asarray(eps)).all()
+    dec = vae_decode(rec, TINY, lat)
+    assert dec.shape == (2, 3, 64, 64)   # decoder inverts the stride
+    assert np.isfinite(np.asarray(dec)).all()
     unused = set(params) - rec.used
     assert not unused, f"params never read: {sorted(unused)[:8]}"
 
