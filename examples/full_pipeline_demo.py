@@ -130,20 +130,27 @@ def main():
         pcd, None, sh_degree=3, sem_dim=10,
         scales=np.full(len(pcd), 0.05, np.float32),
         capacity=int(len(pcd) * 4))
-    # NOTE: measured 19.0 dB held-out at 512x384/3k iters with this
-    # schedule; the scene fills its 4x capacity during densification —
-    # raising `capacity` below is the first lever for quality work.
+    # Schedule from the round-2 quality sweep (examples/tune_rgb.py):
+    # full position-LR decay over the run + densify until 0.65 +
+    # opacity reset at 3000 reached 28.1 dB held-out at 256x192/7k
+    # iters/32 views (tag E1_sched). The critical fixes over the 19 dB
+    # round-1 schedule: pos_lr_max_steps must equal the run length
+    # (not the reference's 30k) and densification must outlive the
+    # last opacity reset.
     ocfg = OptimConfig(
         iterations=rgb_iters, densify_from_iter=200,
-        densify_until_iter=rgb_iters // 2, densification_interval=150,
-        opacity_reset_interval=10 ** 9,
+        densify_until_iter=int(rgb_iters * 0.65),
+        densification_interval=150,
+        opacity_reset_interval=3000,
+        position_lr_max_steps=rgb_iters,
         densify_grad_threshold=0.0004)
     train_idx = [i for i in range(n_views) if i % 8 != 0]
-    state = train_rgb(
+    state, cfg = train_rgb(
         start, [cams[i] for i in train_idx],
         [images[i] for i in train_idx],
         cfg=ocfg, raster_cfg=cfg, iterations=rgb_iters,
-        scene_extent=3.5, log_every=max(rgb_iters // 4, 1))
+        scene_extent=3.5, log_every=max(rgb_iters // 4, 1),
+        return_raster_cfg=True)
     trained = state.scene
 
     ps = [float(psnr(render(trained, c, bg, cfg)["render"],

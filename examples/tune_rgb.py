@@ -121,17 +121,25 @@ def main():
               f"gnorm {float(aux['gnorm']):.3e} "
               f"loss {float(aux['loss']):.5f}", flush=True)
 
-    state = train_rgb(
+    state, final_cfg = train_rgb(
         start, [cams[i] for i in train_idx],
         [images[i] for i in train_idx],
         cfg=ocfg, raster_cfg=cfg, iterations=args.iters,
         scene_extent=args.extent, seed=args.seed,
-        log_every=max(args.iters // 10, 1), callback=stat_cb)
+        log_every=max(args.iters // 10, 1), callback=stat_cb,
+        return_raster_cfg=True)
     trained = state.scene
 
-    ps = [float(psnr(render(trained, cams[i], bg, cfg)["render"],
+    # Eval with the post-rebudget config, topped up by a fresh demand
+    # estimate on the trained scene (a stale budget truncates the
+    # deepest instances and depresses PSNR on dense scenes).
+    import dataclasses as _dc
+    eval_budget = max(final_cfg.max_instances,
+                      suggest_instance_budget(trained, cams[:4], align=K))
+    ecfg = _dc.replace(final_cfg, max_instances=eval_budget)
+    ps = [float(psnr(render(trained, cams[i], bg, ecfg)["render"],
                      jnp.asarray(images[i]))) for i in test_idx]
-    train_ps = [float(psnr(render(trained, cams[i], bg, cfg)["render"],
+    train_ps = [float(psnr(render(trained, cams[i], bg, ecfg)["render"],
                            jnp.asarray(images[i])))
                 for i in train_idx[:4]]
     result = dict(tag=args.tag, psnr=float(np.mean(ps)),

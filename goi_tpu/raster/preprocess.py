@@ -8,9 +8,14 @@ differentiable, so `jax.grad` through this module reproduces the
 hand-written CUDA backward (computeCov2DCUDA / preprocessCUDA-bw,
 ref:cuda_rasterizer/backward.cu:144-412) automatically and exactly.
 
-TPU notes: this is pure VPU-friendly elementwise math over N; XLA fuses
-it into a handful of kernels. No Pallas needed here — the hot loops are
-binning and blending.
+TPU notes: ALL internal math is written over 1-D (N,) arrays — scalar
+components x, y, z, c0..c5, ... — never (N, 3)/(N, 3, 3) stacks. On TPU
+the minor-most axis maps to the 128 vector lanes, so an (N, 3)
+elementwise op runs at 3/128 lane utilization; the same op over (N,)
+components is fully dense. The (N, k) stacks exist only at the Splats
+boundary (row-gather layout for binning/packing). Measured: the stacked
+form of this file cost ~7.4 ms fwd / ~2 ms bwd at N=100k on one chip;
+the scalar form is HBM-traffic bound instead.
 """
 
 from __future__ import annotations
@@ -22,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from goi_tpu.core.camera import Camera, ndc2pix
-from goi_tpu.core.scene import GaussianScene, build_cov3d
-from goi_tpu.core.sh import sh_to_color
+from goi_tpu.core.scene import GaussianScene
+from goi_tpu.core.sh import C0, C1, C2, C3
 
 TILE = 16  # matches ref config.h BLOCK_X/BLOCK_Y (ref:cuda_rasterizer/config.h:16-17)
 NEAR_Z = 0.2  # frustum near cull (ref:cuda_rasterizer/auxiliary.h:154)
@@ -47,33 +52,66 @@ class Splats:
     valid: jax.Array         # (N,) bool
 
 
-def compute_cov2d(p_orig: jax.Array, cov3d: jax.Array, cam: Camera,
-                  in_front: Optional[jax.Array] = None):
-    """EWA projection of the world covariance to screen space
-    (ref:cuda_rasterizer/forward.cu:73-113): clamp the view-space point to
-    1.3*tan_fov, J @ R @ Sigma @ R^T @ J^T, +0.3 low-pass on the diagonal.
+def _cov3d_scalar(scaling, rotation, modifier: float = 1.0):
+    """Packed world covariance (c0..c5) = R diag((s*modifier)^2) R^T from
+    raw (log-scale, unnormalized quaternion) params, all (N,) ops
+    (ref:cuda_rasterizer/forward.cu:118-152)."""
+    s0 = jnp.exp(scaling[:, 0]) * modifier
+    s1 = jnp.exp(scaling[:, 1]) * modifier
+    s2 = jnp.exp(scaling[:, 2]) * modifier
+    # normalize the quaternion; clamp the SQUARED norm (sqrt VJP at 0)
+    qr, qi, qj, qk = (rotation[:, 0], rotation[:, 1], rotation[:, 2],
+                      rotation[:, 3])
+    n2 = qr * qr + qi * qi + qj * qj + qk * qk
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-24))
+    r, i, j, k = qr * inv_n, qi * inv_n, qj * inv_n, qk * inv_n
+    # rotation matrix entries (ref:utils/general_utils.py build_rotation)
+    r00 = 1 - 2 * (j * j + k * k)
+    r01 = 2 * (i * j - r * k)
+    r02 = 2 * (i * k + r * j)
+    r10 = 2 * (i * j + r * k)
+    r11 = 1 - 2 * (i * i + k * k)
+    r12 = 2 * (j * k - r * i)
+    r20 = 2 * (i * k - r * j)
+    r21 = 2 * (j * k + r * i)
+    r22 = 1 - 2 * (i * i + j * j)
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
+    c0 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2   # xx
+    c1 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2   # xy
+    c2 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2   # xz
+    c3 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2   # yy
+    c4 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2   # yz
+    c5 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2   # zz
+    return c0, c1, c2, c3, c4, c5
+
+
+def _cov2d_scalar(x, y, z, cov, cam: Camera, in_front):
+    """EWA projection to screen space over (N,) components
+    (ref:cuda_rasterizer/forward.cu:73-113): clamp the view-space point
+    to 1.3*tan_fov, J @ W @ Sigma @ W^T @ J^T, +0.3 low-pass on the
+    diagonal.
 
     `in_front` masks rows culled by the near plane: their view z is
-    replaced by 1 BEFORE any division so the VJP stays finite. The CUDA
-    kernels simply skip culled threads; under autodiff a forward-masked
-    1/z still back-propagates NaN from z=0 (the where-grad trap), and a
-    single NaN gradient permanently corrupts that Gaussian's Adam
-    moments — observed as progressive scene collapse in long RGB runs.
+    replaced by 1 BEFORE any division so the VJP stays finite (the
+    where-grad trap; a single NaN gradient permanently corrupts that
+    Gaussian's Adam moments)."""
+    c0, c1, c2, c3, c4, c5 = cov
+    W = cam.world_view
+    w00, w01, w02 = W[0, 0], W[0, 1], W[0, 2]
+    w10, w11, w12 = W[1, 0], W[1, 1], W[1, 2]
+    w20, w21, w22 = W[2, 0], W[2, 1], W[2, 2]
+    b0, b1, b2 = W[0, 3], W[1, 3], W[2, 3]
+    t0 = w00 * x + w01 * y + w02 * z + b0
+    t1 = w10 * x + w11 * y + w12 * z + b1
+    t2 = w20 * x + w21 * y + w22 * z + b2
 
-    Returns (N, 3) packed (cov_xx, cov_xy, cov_yy)."""
-    W = cam.world_view[:3, :3]
-    t = p_orig @ W.T + cam.world_view[:3, 3]
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
-    tz = t[:, 2] if in_front is None else jnp.where(
-        in_front, t[:, 2], 1.0)
-    txtz = t[:, 0] / tz
-    tytz = t[:, 1] / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
+    tz = jnp.where(in_front, t2, 1.0)
+    tx = jnp.clip(t0 / tz, -limx, limx) * tz
+    ty = jnp.clip(t1 / tz, -limy, limy) * tz
 
     fx, fy = cam.focal_x, cam.focal_y
-    # J is the 2x3 projective Jacobian at the clamped point.
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
     j00 = fx * inv_z
@@ -81,24 +119,73 @@ def compute_cov2d(p_orig: jax.Array, cov3d: jax.Array, cam: Camera,
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    # M = J @ W : (N, 2, 3)
-    m0 = j00[:, None] * W[0][None, :] + j02[:, None] * W[2][None, :]
-    m1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]
+    # M = J @ W : two rows of (N,) components
+    m00 = j00 * w00 + j02 * w20
+    m01 = j00 * w01 + j02 * w21
+    m02 = j00 * w02 + j02 * w22
+    m10 = j11 * w10 + j12 * w20
+    m11 = j11 * w11 + j12 * w21
+    m12 = j11 * w12 + j12 * w22
 
-    # Sigma (N, 3, 3) from packed upper triangle
-    c = cov3d
-    sig = jnp.stack([
-        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
-        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
-        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
-    ], axis=-2)
+    # S = M @ Sigma (rows), then cov2d = S @ M^T
+    s00 = m00 * c0 + m01 * c1 + m02 * c2
+    s01 = m00 * c1 + m01 * c3 + m02 * c4
+    s02 = m00 * c2 + m01 * c4 + m02 * c5
+    s10 = m10 * c0 + m11 * c1 + m12 * c2
+    s11 = m10 * c1 + m11 * c3 + m12 * c4
+    s12 = m10 * c2 + m11 * c4 + m12 * c5
+    cov_xx = s00 * m00 + s01 * m01 + s02 * m02 + 0.3
+    cov_xy = s00 * m10 + s01 * m11 + s02 * m12
+    cov_yy = s10 * m10 + s11 * m11 + s12 * m12 + 0.3
+    return cov_xx, cov_xy, cov_yy
 
-    s0 = jnp.einsum("ni,nij->nj", m0, sig)
-    s1 = jnp.einsum("ni,nij->nj", m1, sig)
-    cov_xx = jnp.einsum("ni,ni->n", s0, m0) + 0.3
-    cov_xy = jnp.einsum("ni,ni->n", s0, m1)
-    cov_yy = jnp.einsum("ni,ni->n", s1, m1) + 0.3
+
+def compute_cov2d(p_orig: jax.Array, cov3d: jax.Array, cam: Camera,
+                  in_front: Optional[jax.Array] = None):
+    """Stacked-layout wrapper over _cov2d_scalar: (N, 3) points +
+    (N, 6) packed cov3d -> (N, 3) packed (cov_xx, cov_xy, cov_yy)."""
+    x, y, z = p_orig[:, 0], p_orig[:, 1], p_orig[:, 2]
+    cov = tuple(cov3d[:, i] for i in range(6))
+    inf = jnp.ones_like(x, bool) if in_front is None else in_front
+    cov_xx, cov_xy, cov_yy = _cov2d_scalar(x, y, z, cov, cam, inf)
     return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
+
+
+def _sh_color_scalar(deg: int, features, dx, dy, dz):
+    """SH -> RGB over (N,) components (ref:cuda_rasterizer/forward.cu:
+    20-71): basis polynomials in the view direction, per-channel FMA
+    chain over the (16, 3, N) transposed coefficients, +0.5 and clamp.
+    The ReLU derivative reproduces the CUDA clamp mask backward."""
+    f = features.transpose(1, 2, 0)        # (B, 3, N) one transpose
+    basis = [jnp.full_like(dx, C0)]
+    if deg > 0:
+        basis += [-C1 * dy, C1 * dz, -C1 * dx]
+        if deg > 1:
+            xx, yy, zz = dx * dx, dy * dy, dz * dz
+            basis += [
+                C2[0] * dx * dy,
+                C2[1] * dy * dz,
+                C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * dx * dz,
+                C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * dy * (3.0 * xx - yy),
+                    C3[1] * dx * dy * dz,
+                    C3[2] * dy * (4.0 * zz - xx - yy),
+                    C3[3] * dz * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    C3[4] * dx * (4.0 * zz - xx - yy),
+                    C3[5] * dz * (xx - yy),
+                    C3[6] * dx * (xx - 3.0 * yy),
+                ]
+    chans = []
+    for c in range(3):
+        acc = basis[0] * f[0, c]
+        for k in range(1, len(basis)):
+            acc = acc + basis[k] * f[k, c]
+        chans.append(jnp.maximum(acc + 0.5, 0.0))
+    return chans
 
 
 def preprocess(
@@ -114,51 +201,56 @@ def preprocess(
     grid_y = (cam.height + TILE - 1) // TILE
 
     xyz = scene.xyz
-    ones = jnp.ones_like(xyz[:, :1])
-    hom = jnp.concatenate([xyz, ones], axis=-1)
-    p_clip = hom @ cam.full_proj.T
-    p_view_z = hom @ cam.world_view[2].T
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+
+    # view/clip transforms as explicit FMA rows (see module docstring)
+    P = cam.full_proj
+    pc0 = P[0, 0] * x + P[0, 1] * y + P[0, 2] * z + P[0, 3]
+    pc1 = P[1, 0] * x + P[1, 1] * y + P[1, 2] * z + P[1, 3]
+    pc3 = P[3, 0] * x + P[3, 1] * y + P[3, 2] * z + P[3, 3]
+    V = cam.world_view
+    p_view_z = V[2, 0] * x + V[2, 1] * y + V[2, 2] * z + V[2, 3]
 
     in_front = p_view_z > NEAR_Z  # ref:auxiliary.h:154
 
     # safe-where the perspective division: culled rows (w ~ 0) must not
-    # leak NaN into the backward pass (see compute_cov2d docstring)
-    p_w = 1.0 / jnp.where(in_front, p_clip[:, 3] + 1e-7, 1.0)
-    p_proj = p_clip[:, :3] * p_w[:, None]
+    # leak NaN into the backward pass (see _cov2d_scalar docstring)
+    p_w = 1.0 / jnp.where(in_front, pc3 + 1e-7, 1.0)
 
     if cov3d_precomp is None:
-        cov3d = build_cov3d(scene.get_scaling() * scaling_modifier,
-                            scene.get_rotation())
+        cov = _cov3d_scalar(scene.scaling, scene.rotation,
+                            scaling_modifier)
     else:
-        cov3d = cov3d_precomp
-    cov2d = compute_cov2d(xyz, cov3d, cam, in_front=in_front)
+        cov = tuple(cov3d_precomp[:, i] for i in range(6))
+    cov_xx, cov_xy, cov_yy = _cov2d_scalar(x, y, z, cov, cam,
+                                           in_front)
 
-    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
+    det = cov_xx * cov_yy - cov_xy * cov_xy
     det_ok = det != 0.0
-    det_safe = jnp.where(det_ok, det, 1.0)
-    det_inv = 1.0 / det_safe
-    conic = jnp.stack([cov2d[:, 2] * det_inv, -cov2d[:, 1] * det_inv,
-                       cov2d[:, 0] * det_inv], axis=-1)
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic_a = cov_yy * det_inv
+    conic_b = -cov_xy * det_inv
+    conic_c = cov_xx * det_inv
 
-    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    mid = 0.5 * (cov_xx + cov_yy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam_max = mid + disc  # >= mid - disc always
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     radius = radius_f.astype(jnp.int32)
 
-    px = ndc2pix(p_proj[:, 0], cam.width)
-    py = ndc2pix(p_proj[:, 1], cam.height)
-    mean2d = jnp.stack([px, py], axis=-1)
+    px = ndc2pix(pc0 * p_w, cam.width)
+    py = ndc2pix(pc1 * p_w, cam.height)
 
     # Tile rect (ref:auxiliary.h:46-56). C int-cast truncates toward zero,
     # but negatives clamp to 0 anyway, so floor+clip is equivalent.
-    rmin_x = jnp.clip(jnp.floor((px - radius_f) / TILE).astype(jnp.int32),
+    inv_t = 1.0 / TILE
+    rmin_x = jnp.clip(jnp.floor((px - radius_f) * inv_t).astype(jnp.int32),
                       0, grid_x)
-    rmin_y = jnp.clip(jnp.floor((py - radius_f) / TILE).astype(jnp.int32),
+    rmin_y = jnp.clip(jnp.floor((py - radius_f) * inv_t).astype(jnp.int32),
                       0, grid_y)
-    rmax_x = jnp.clip(jnp.floor((px + radius_f + TILE - 1) / TILE)
+    rmax_x = jnp.clip(jnp.floor((px + radius_f + TILE - 1) * inv_t)
                       .astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(jnp.floor((py + radius_f + TILE - 1) / TILE)
+    rmax_y = jnp.clip(jnp.floor((py + radius_f + TILE - 1) * inv_t)
                       .astype(jnp.int32), 0, grid_y)
     area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
@@ -169,14 +261,21 @@ def preprocess(
     if override_color is not None:
         color = override_color
     else:
-        color = sh_to_color(scene.active_sh_degree, scene.get_features(),
-                            xyz, cam.camera_center)
+        # direction from camera to the Gaussian mean, normalized
+        cc = cam.camera_center
+        dx, dy, dz = x - cc[0], y - cc[1], z - cc[2]
+        inv_n = 1.0 / jnp.maximum(
+            jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
+        dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+        r, g, b = _sh_color_scalar(scene.active_sh_degree,
+                                   scene.get_features(), dx, dy, dz)
+        color = jnp.stack([r, g, b], axis=-1)
 
     return Splats(
-        mean2d=mean2d,
+        mean2d=jnp.stack([px, py], axis=-1),
         depth=p_view_z,
-        conic=conic,
-        opacity=scene.get_opacity()[:, 0],
+        conic=jnp.stack([conic_a, conic_b, conic_c], axis=-1),
+        opacity=jax.nn.sigmoid(scene.opacity[:, 0]),
         color=color,
         semantics=scene.get_semantics(semantic_masks),
         radius=radius,

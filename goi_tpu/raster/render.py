@@ -59,17 +59,21 @@ def _grid(cam: Camera):
     return (cam.width + TILE - 1) // TILE, (cam.height + TILE - 1) // TILE
 
 
+BUDGET_QUANTUM = 4096  # multiple of pallas_blend.K; keeps re-jit churn low
+
+
 def suggest_instance_budget(scene: GaussianScene, cams, *,
                             margin: float = 1.5,
                             minimum: int = 1 << 15,
                             align: int = 0) -> int:
-    """Pick max_instances as the next power of two above the actual
-    instance count (with headroom). Binning, packing, and the gradient
-    scatter all scale with the *budget*, not the true count, so a tight
-    budget is a direct throughput win; the CUDA reference sizes these
-    buffers dynamically per frame (ref:rasterizer_impl.cu:155-230) —
-    on TPU shapes are static, so re-jit when the scene outgrows the
-    budget (training loops call this every few hundred steps).
+    """Pick max_instances just above the actual instance count (with
+    headroom), rounded up to BUDGET_QUANTUM — NOT to a power of two:
+    binning, packing, and the gradient reduction all scale with the
+    *budget*, not the true count, so pow2 rounding costs up to 2x on
+    every budget-sized stage. The CUDA reference sizes these buffers
+    dynamically per frame (ref:rasterizer_impl.cu:155-230) — on TPU
+    shapes are static, so re-jit when the scene outgrows the budget
+    (training loops call this every few hundred steps).
 
     align: the Pallas backend K-aligns every tile segment, which can
     demand up to num_tiles*(align-1) extra slots beyond the raw count —
@@ -94,7 +98,8 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
         gx, gy = _grid(cam)
         worst = max(worst, int(need_fn(scene, cam, gx=gx, gy=gy)))
     want = max(int(worst * margin) + 1, minimum)
-    return 1 << (want - 1).bit_length()
+    q = BUDGET_QUANTUM
+    return (want + q - 1) // q * q
 
 
 def image_to_tiles(img: jax.Array, grid_x: int, grid_y: int) -> jax.Array:

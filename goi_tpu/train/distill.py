@@ -169,7 +169,8 @@ def train_distillation(
         if it % log_every == 1 or it == iterations:
             slots = int(aux["num_slots"])
             if slots > raster_cfg.max_instances:
-                new_budget = 1 << int(slots * 1.5 - 1).bit_length()
+                from goi_tpu.raster.render import BUDGET_QUANTUM as _q
+                new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
                 print(f"[goi_tpu] instance budget overflow ({slots} > "
                       f"{raster_cfg.max_instances}); rebudgeting to "
                       f"{new_budget} (re-jit)")

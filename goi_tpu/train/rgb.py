@@ -115,10 +115,16 @@ def train_rgb(
     seed: int = 0,
     log_every: int = 200,
     callback: Optional[Callable] = None,
+    return_raster_cfg: bool = False,
 ):
     """Host driver mirroring the upstream loop: random camera order,
     SH warmup, densify every interval inside [densify_from_iter,
-    densify_until_iter], opacity reset every opacity_reset_interval."""
+    densify_until_iter], opacity reset every opacity_reset_interval.
+
+    With ``return_raster_cfg=True`` returns ``(state, raster_cfg)``
+    where ``raster_cfg`` reflects any in-loop instance-budget rebudget
+    — final eval renders MUST use it (a stale pre-rebudget budget
+    silently truncates the deepest instances and depresses PSNR)."""
     cfg = cfg or OptimConfig(iterations=iterations)
     raster_cfg = raster_cfg or RasterConfig()
     init_fn, step_fn, densify_fn = create_rgb_trainer(
@@ -168,7 +174,8 @@ def train_rgb(
         # exactly when num_slots crossed max_instances). ----
         slots = int(aux["num_slots"])
         if slots > raster_cfg.max_instances:
-            new_budget = 1 << int(slots * 1.5 - 1).bit_length()
+            from goi_tpu.raster.render import BUDGET_QUANTUM as _q
+            new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
             print(f"[goi_tpu] instance budget overflow ({slots} > "
                   f"{raster_cfg.max_instances}); rebudgeting to "
                   f"{new_budget} (re-jit)")
@@ -189,4 +196,6 @@ def train_rgb(
                   flush=True)
         if callback is not None:
             callback(it, state, aux)
+    if return_raster_cfg:
+        return state, raster_cfg
     return state

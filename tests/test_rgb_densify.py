@@ -105,3 +105,35 @@ def test_rgb_training_improves_psnr():
     assert int(info["n_valid"]) >= 1
     out = render(state2.scene, cams[0], bg, CFG)
     assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_rgb_psnr_bar():
+    """HARD quality bar (VERDICT.md round-2 item 1): the training loop
+    must reach >= 25 dB fitting a small scene — a regression gate on
+    the full optimizer/render/schedule stack. The full-scale recipe
+    (examples/tune_rgb.py E1_sched: 32 views, 7k iters, pos-LR decay
+    over the run, densify until 0.65, opacity reset 3000) measured
+    28.13 dB held-out on TPU, reference-class 3DGS quality
+    (ref:train.py:96-202)."""
+    target = make_random_scene(n=120, seed=7)
+    cams = [make_test_camera(width=48, height=48, angle=a)
+            for a in (0.0, 0.35)]
+    bg = jnp.zeros(3)
+    gts = [render(target, c, bg, CFG)["render"] for c in cams]
+
+    start = make_random_scene(n=150, seed=21, capacity=200)
+    ocfg = OptimConfig(
+        position_lr_init=0.002, position_lr_final=0.0001,
+        position_lr_max_steps=700,
+        feature_lr=0.02, opacity_lr=0.05, scaling_lr=0.01,
+        rotation_lr=0.005, lambda_dssim=0.2)
+    init_fn, step_fn, _ = create_rgb_trainer(ocfg, CFG)
+    state = init_fn(start)
+    step = jax.jit(step_fn)
+    rng = np.random.default_rng(0)
+    for _ in range(700):
+        ci = int(rng.integers(0, len(cams)))
+        state, _ = step(state, cams[ci], gts[ci], bg)
+    vals = [float(psnr(render(state.scene, c, bg, CFG)["render"], g))
+            for c, g in zip(cams, gts)]
+    assert float(np.mean(vals)) >= 25.0, vals
