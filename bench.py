@@ -47,7 +47,11 @@ def main():
                          fovx=0.9, fovy=0.9, width=width, height=height)
     from goi_tpu.raster.pallas_blend import K
     from goi_tpu.raster.render import suggest_instance_budget
-    budget = suggest_instance_budget(scene, cam, align=K)
+    # margin 1.1: binning/pack/reduction all scale with the BUDGET, and
+    # the CUDA baseline sizes these buffers exactly per frame
+    # (ref:rasterizer_impl.cu:155-230); 1.5x headroom is a training-loop
+    # concern, not a per-frame rasterization cost.
+    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
     cfg = RasterConfig(max_instances=budget, backend="pallas")
 
     tgt_c = jnp.zeros((3, height, width))

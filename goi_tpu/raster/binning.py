@@ -42,17 +42,6 @@ class Binning:
     num_slots: jax.Array    # () int32 buffer slots DEMANDED incl. alignment
     #                         padding; num_slots > max_instances <=> some
     #                         instances were truncated (overflow detector)
-    # ---- presort <-> sorted mapping (align path only; None otherwise).
-    # The presort stream is gaussian-major in depth order: gaussian of
-    # depth-rank r owns presort slots [g_base[r], g_base[r]+g_count[r]).
-    # These make the instance->gaussian gradient reduction a GATHER +
-    # contiguous segment sum instead of a scatter-add (see
-    # pallas_blend._pack_bwd).
-    pos: jax.Array = None      # (max_instances,) presort slot -> sorted
-    #                            destination (>= budget when dropped)
-    g_base: jax.Array = None   # (N,) presort offset per depth rank
-    g_count: jax.Array = None  # (N,) tiles touched per depth rank
-    order: jax.Array = None    # (N,) depth rank -> gaussian id
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y"))
@@ -94,11 +83,14 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     total = offsets[-1]
 
     # packed per-sorted-Gaussian info for one fused row gather:
-    # [rmin_x, rmin_y, rect_w, base, gid]
+    # [rect(10b x0 | 10b y0 | 10b w), base, gid] — the rect packs into
+    # one int32 (10 bits each supports 1024-tile grids = 16k-pixel
+    # frames) so the M-sized row gather below moves 3 ints, not 5
     rmin = sp.rect_min[order]
     width = jnp.maximum(sp.rect_max[order, 0] - rmin[:, 0], 1)
-    info = jnp.stack([rmin[:, 0], rmin[:, 1], width, base, order],
-                     axis=1).astype(jnp.int32)
+    assert grid_x <= 1024 and grid_y <= 1024, "rect packing is 10-bit"
+    rect = (rmin[:, 0] << 20) | (rmin[:, 1] << 10) | width
+    info = jnp.stack([rect, base, order], axis=1).astype(jnp.int32)
 
     # 2) slot -> sorted-Gaussian index: mark first slot of each Gaussian,
     # then cummax (marks are increasing along the stream).
@@ -108,12 +100,14 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         jnp.where(counts > 0, base, n_inst)].set(g_idx, mode="drop")
     g_stream = jax.lax.cummax(mark)
 
-    inst_info = info[g_stream]                          # (n_inst, 5)
-    local = slots - inst_info[:, 3]
+    inst_info = info[g_stream]                          # (n_inst, 3)
+    rect_i = inst_info[:, 0]
+    local = slots - inst_info[:, 1]
     # row-major walk of the rect, matching duplicateWithKeys' y-outer
     # x-inner loop (ref:rasterizer_impl.cu:70-95).
-    tx = inst_info[:, 0] + local % inst_info[:, 2]
-    ty = inst_info[:, 1] + local // inst_info[:, 2]
+    w_i = rect_i & 0x3FF
+    tx = (rect_i >> 20) + local % w_i
+    ty = ((rect_i >> 10) & 0x3FF) + local // w_i
     in_range = slots < total
     tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
 
@@ -124,7 +118,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         f"instance budget 2^{slot_bits} x {num_tiles} tiles exceeds the "
         "32-bit packed sort key; shrink max_instances or shard tiles")
     key = (tile.astype(jnp.uint32) << slot_bits) | slots.astype(jnp.uint32)
-    key_sorted, gid = jax.lax.sort_key_val(key, inst_info[:, 4])
+    key_sorted, gid = jax.lax.sort_key_val(key, inst_info[:, 2])
     tile_sorted = (key_sorted >> slot_bits).astype(jnp.int32)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -151,15 +145,6 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # out-of-bounds scatter index -> dropped (mode="drop")
         pos = jnp.where(ok, pos, n_inst)
         gid_aligned = jnp.full_like(gid, -1).at[pos].set(gid, mode="drop")
-        # presort slot -> aligned destination. `pos` above is indexed by
-        # SORTED slot; recover the presort indexing by scattering
-        # through the sort's embedded presort-slot payload (the low bits
-        # of the key are the unique presort slot).
-        presort_slot = (key_sorted
-                        & jnp.uint32((1 << slot_bits) - 1)).astype(
-            jnp.int32)
-        pos_presort = jnp.full((n_inst,), n_inst, jnp.int32).at[
-            presort_slot].set(jnp.minimum(pos, n_inst), mode="drop")
         # clamp ranges into the (static) buffer: overflow truncates the
         # deepest instances, same policy as the unaligned path. The
         # ALIGNED demand (seg_cum[-1]) is reported in num_slots so
@@ -170,8 +155,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         a_end = jnp.minimum(a_end, cap)
         return Binning(point_list=gid_aligned, tile_start=a_start,
                        tile_end=a_end, num_instances=total,
-                       num_slots=seg_cum[-1], pos=pos_presort,
-                       g_base=base, g_count=counts, order=order)
+                       num_slots=seg_cum[-1])
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=total, num_slots=total)

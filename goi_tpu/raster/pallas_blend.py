@@ -4,8 +4,12 @@ TPU-native replacement for renderCUDA forward/backward
 (ref:cuda_rasterizer/forward.cu:261-386, backward.cu:413-625). One grid
 program per 16x16 tile; instance data arrives pre-gathered and
 tile-segmented (K-aligned segments from bin_splats(align=K)) as one
-feature-major matrix in HBM, so every chunk is ONE contiguous DMA —
-the TPU answer to the CUDA kernel's shared-memory batch fetches.
+ROW-major (N_inst+K, D_pad) matrix in HBM, so every chunk is ONE
+contiguous (K, D_pad) DMA — the TPU answer to the CUDA kernel's
+shared-memory batch fetches. The kernels flip each chunk to
+feature-major (D_pad, K) on a 64 KB VMEM tile; keeping HBM row-major
+means neither pack_features nor its VJP ever pays an instance-scale
+transpose (~3 ms each at M ~ 500k).
 
 Per chunk of K=128 instances (all (256, K) VPU math + MXU matmuls):
   power/alpha as in the CUDA kernel (0.99 clamp, 1/255 skip, T<1e-4
@@ -24,7 +28,7 @@ ref:cuda_rasterizer/backward.cu:598-621. Per-instance grads are written
 to disjoint K-aligned slices (no atomics, bit-deterministic), and the
 caller segment-sums instances -> Gaussians.
 
-Feature-row layout (D = 7 + 3 + S):
+Feature layout within a row (D = 7 + 3 + S):
   0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..8:rgb
   9..9+S-1:semantics 6+3+S:depth
 Output row layout (OUTC = 14 two-padded to 16):
@@ -52,21 +56,22 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@jax.custom_vjp
-def _pack(mean2d, conic, opacity, color, semantics, depth, gid,
-          pos, g_base, g_count, order):
+DOUT = 128  # row-major instance-grad rows (128-lane DMA alignment)
+
+
+def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
     Sentinel instances (gid < 0) become all-zero columns (opacity 0 =>
     alpha 0 < 1/255 => skipped).
 
     Built as ONE contiguous row-gather of a per-Gaussian feature matrix
     followed by a transpose — orders of magnitude cheaper on TPU than
-    per-column gathers. The custom VJP turns the CUDA backward's
-    atomicAdd pixel->Gaussian scatter into a deterministic GATHER-based
-    reduction: instance grads are gathered back to the gaussian-major
-    presort stream (via `pos`), summed per gaussian as contiguous
-    segments (log-depth cumsum + two gathers), and permuted to gaussian
-    ids (via `order`) — no large scatter-adds anywhere."""
+    per-column gathers. Feature-major is forced by Mosaic: manual DMA
+    slices must be 128-aligned along the minor dim, so the kernels can
+    only read (D_pad, K)-shaped chunks of a feature-major matrix (a
+    row-major (M, 24) layout is not chunk-sliceable, and padding rows
+    to 128 lanes measured SLOWER overall — the 4x pack/cumsum traffic
+    outweighs the transposes it saves)."""
     s_dim = semantics.shape[-1]
     d = 7 + 3 + s_dim
     d_pad = d + ((-d) % 8)  # Mosaic HBM sublane tiling
@@ -83,57 +88,45 @@ def _pack(mean2d, conic, opacity, color, semantics, depth, gid,
     inst = per_gauss[jnp.maximum(gid, 0)]            # (N_inst, d_pad)
     inst = jnp.where(ok[:, None], inst, 0.0)
     feat = inst.T                                     # (d_pad, N_inst)
-    # +K zero columns so the last (clamped) segment's chunk walk stays
+    # +K zero columns so the last (clamped) segment\'s chunk walk stays
     # in bounds
     return jnp.pad(feat, ((0, 0), (0, K)))
 
 
-def _pack_fwd(mean2d, conic, opacity, color, semantics, depth, gid,
-              pos, g_base, g_count, order):
-    out = _pack(mean2d, conic, opacity, color, semantics, depth, gid,
-                pos, g_base, g_count, order)
-    return out, (gid, pos, g_base, g_count, order, mean2d.shape[0],
-                 semantics.shape[-1])
+def _reduce_instance_grads(g, gid, n_gauss, s_dim):
+    """Instance grads (ROW-major (Npad+K, DOUT), straight from the bwd
+    kernel) -> per-Gaussian grads, as ONE deterministic segment-sum
+    scatter keyed by the tile-sorted Gaussian ids (XLA TPU scatters
+    execute without atomics, so this is bit-reproducible — the
+    deterministic replacement for the CUDA backward\'s atomicAdd
+    pixel->Gaussian reduction, ref:cuda_rasterizer/backward.cu:565-621).
 
+    Measured on-chip at M ~ 350k: this direct scatter (7.8 ms) beats
+    the presort gather+cumsum+segment-diff chain (8.3 ms) that round 1
+    used, and it needs none of the presort bookkeeping (one fewer
+    M-sized scatter in binning). Both are random-access latency-bound
+    (~15-20 ns/row) — the TPU floor for crossing the tile sort.
+    Sentinel rows (gid < 0: alignment gaps and the +K pad) are masked
+    here, so uninitialized kernel-output rows beyond the last segment
+    never leak (jnp.where selects, NaNs do not propagate).
 
-def _pack_bwd(res, g):
-    gid, pos, g_base, g_count, order, n_gauss, s_dim = res
+    The kernel emits row-major grads precisely so this reduction
+    consumes whole rows: a (D, M) -> (M, D) transpose at M ~ 500k
+    costs ~3 ms of pure lane shuffling on TPU."""
     d = 7 + 3 + s_dim
-    if pos is None:
-        # no presort mapping: deterministic segment-sum scatter
-        gt = g[:d, :-K].T                             # (N_inst, d)
-        ok = gid >= 0
-        acc = jax.ops.segment_sum(
-            jnp.where(ok[:, None], gt, 0.0),
-            jnp.where(ok, gid, n_gauss),
-            num_segments=n_gauss + 1)[:n_gauss]
-    else:
-        # gather-based reduction (see _pack docstring). Column
-        # `budget` of g is guaranteed zero: either the kernel wrote
-        # zeros there (sentinel instances never activate) or
-        # _blend_bwd's colmask zeroed it.
-        budget = pos.shape[0]
-        gt = g[:d].T                                  # (N_inst + K, d)
-        gp = gt[jnp.minimum(pos, budget)]             # (budget, d)
-        cs = jnp.cumsum(gp, axis=0)
-        cs = jnp.concatenate([jnp.zeros((1, d), gp.dtype), cs], axis=0)
-        s = jnp.minimum(g_base, budget)
-        e = jnp.minimum(g_base + g_count, budget)
-        seg = cs[e] - cs[s]                           # (N_sorted, d)
-        acc = jnp.zeros((n_gauss, d), gp.dtype).at[order].set(seg)
+    gt = g[:-K, :d]                               # (N_inst, d)
+    ok = gid >= 0
+    acc = jax.ops.segment_sum(
+        jnp.where(ok[:, None], gt, 0.0),
+        jnp.where(ok, gid, n_gauss),
+        num_segments=n_gauss + 1)[:n_gauss]
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
-            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim], None,
-            None, None, None, None)
-
-
-_pack.defvjp(_pack_fwd, _pack_bwd)
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
 
 def pack_features(sp: Splats, binning: Binning) -> jax.Array:
-    return _pack(sp.mean2d, sp.conic, sp.opacity, sp.color,
-                 sp.semantics, sp.depth, binning.point_list,
-                 binning.pos, binning.g_base, binning.g_count,
-                 binning.order)
+    return _pack_impl(sp.mean2d, sp.conic, sp.opacity, sp.color,
+                      sp.semantics, sp.depth, binning.point_list)
 
 
 def _pixel_coords(t, grid_x):
@@ -243,7 +236,7 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
 
 
 def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
-                dfeat_ref, scratch, dscratch, sem_in, sem_out,
+                dfeat_ref, scratch, dscratch, tscratch, sem_in, sem_out,
                 *, grid_x, n_out):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -304,11 +297,18 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
                                    keepdims=True)
         dscratch[5:6, :] = jnp.sum(dopa_pix, axis=0, keepdims=True)
         dscratch[6:6 + n_out, :] = dfo
-        # zero the alignment-padding rows (uninitialized scratch)
+        # zero the padding rows up to DOUT (uninitialized scratch)
         dscratch[6 + n_out:, :] = jnp.zeros(
             (dscratch.shape[0] - 6 - n_out, K), jnp.float32)
+        # flip to row-major (K, DOUT) on this 64 KB VMEM tile so the
+        # caller's gather/cumsum reduction never pays a
+        # (D, M) -> (M, D) transpose at instance scale; DOUT = 128
+        # because Mosaic manual-DMA slices must be 128-aligned along
+        # the minor dim (the extra zero lanes cost only write DMA
+        # bytes in this kernel)
+        tscratch[:, :] = dscratch[:].T
         wdma = pltpu.make_async_copy(
-            dscratch, dfeat_ref.at[:, pl.ds(off, K)], sem_out)
+            tscratch, dfeat_ref.at[pl.ds(off, K)], sem_out)
         wdma.start()
         wdma.wait()
         prefix = prefix + jnp.sum(wf, axis=1, keepdims=True)
@@ -327,13 +327,13 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
     # phase 2: zero-fill the untouched chunks of this tile's segment so
     # every covered slot is written exactly once (determinism contract)
-    dscratch[:, :] = jnp.zeros(
-        (dscratch.shape[0], K), jnp.float32)
+    tscratch[:, :] = jnp.zeros(
+        (K, tscratch.shape[1]), jnp.float32)
 
     def zero_body(k, _):
         off = pl.multiple_of(start + k * K, K)
         zdma = pltpu.make_async_copy(
-            dscratch, dfeat_ref.at[:, pl.ds(off, K)], sem_out)
+            tscratch, dfeat_ref.at[pl.ds(off, K)], sem_out)
         zdma.start()
         zdma.wait()
         return 0
@@ -341,13 +341,26 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
     jax.lax.fori_loop(k_done, n_chunks, zero_body, 0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _blend_core(feat, starts, ends, grid_x, grid_y, n_out):
-    out, _ = _blend_fwd(feat, starts, ends, grid_x, grid_y, n_out)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _blend_core(grid_x, grid_y, n_out, mean2d, conic, opacity, color,
+                semantics, depth, gid, starts, ends):
+    """pack + tiled blend under ONE custom VJP. Merging them (rather
+    than giving pack its own VJP) frees the backward to hand
+    _reduce_instance_grads ROW-major instance grads even though the
+    forward feat matrix is feature-major — a custom_vjp cotangent must
+    match its primal's shape, so with a separate pack VJP the bwd
+    kernel would be forced to emit feature-major grads and the
+    reduction would start with a ~3 ms instance-scale transpose."""
+    out, _ = _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic,
+                             opacity, color, semantics, depth, gid,
+                             starts, ends)
     return out
 
 
-def _blend_fwd(feat, starts, ends, grid_x, grid_y, n_out):
+def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
+                    color, semantics, depth, gid, starts, ends):
+    feat = _pack_impl(mean2d, conic, opacity, color, semantics, depth,
+                      gid)
     num_tiles = grid_x * grid_y
     outc = n_out + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -369,13 +382,15 @@ def _blend_fwd(feat, starts, ends, grid_x, grid_y, n_out):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, ends, feat)
-    return out, (feat, starts, ends, out)
+    return out, (feat, starts, ends, out, gid,
+                 mean2d.shape[0], semantics.shape[-1])
 
 
-def _blend_bwd(grid_x, grid_y, n_out, res, g):
-    feat, starts, ends, out = res
+def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
+    feat, starts, ends, out, gid, n_gauss, s_dim = res
     num_tiles = grid_x * grid_y
     outc = n_out + 2
+    n_inst = feat.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -389,28 +404,29 @@ def _blend_bwd(grid_x, grid_y, n_out, res, g):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((feat.shape[0], K), jnp.float32),
+            pltpu.VMEM((DOUT, K), jnp.float32),
+            pltpu.VMEM((K, DOUT), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     dfeat = pl.pallas_call(
         partial(_bwd_kernel, grid_x=grid_x, n_out=n_out),
-        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, ends, feat, out, g)
-    # columns never covered by a tile segment hold uninitialized memory
-    n_inst = feat.shape[1]
-    last = jnp.maximum(
-        starts[-1] + pl.cdiv(ends[-1] - starts[-1], K) * K, 0)
-    colmask = jnp.arange(n_inst)[None, :] < last
-    dfeat = jnp.where(colmask, dfeat, 0.0)
-    return (dfeat, None, None)
+    # rows never covered by a tile segment hold uninitialized memory;
+    # the reduction masks them out via their sentinel gids (gid < 0),
+    # so no instance-scale rowmask pass is needed (~0.9 ms saved)
+    dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+        _reduce_instance_grads(dfeat, gid, n_gauss, s_dim)
+    return (dmean2d, dconic, dopa, dcolor, dsem, ddepth,
+            None, None, None)
 
 
-_blend_core.defvjp(_blend_fwd, _blend_bwd)
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
 def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
@@ -420,9 +436,10 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
     Requires bin_splats(..., align=K)."""
     s = sp.semantics.shape[-1]
     n_out = 3 + s + 1
-    feat = pack_features(sp, binning)
-    raw = _blend_core(feat, binning.tile_start, binning.tile_end,
-                      grid_x, grid_y, n_out)
+    raw = _blend_core(grid_x, grid_y, n_out, sp.mean2d, sp.conic,
+                      sp.opacity, sp.color, sp.semantics, sp.depth,
+                      binning.point_list,
+                      binning.tile_start, binning.tile_end)
     t_final = raw[:, :, n_out]
     color = raw[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
     sem = raw[:, :, 3:3 + s]
