@@ -74,25 +74,29 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     num_tiles = grid_x * grid_y
     n_inst = max_instances
 
-    # 1) depth sort of Gaussians (stable; invalid to the back).
-    order = jnp.argsort(jnp.where(sp.valid, sp.depth, jnp.inf),
-                        stable=True).astype(jnp.int32)
-    counts = sp.tiles_touched[order].astype(jnp.int32)
+    # 1) expand instances in Gaussian-INDEX order. No standalone depth
+    # argsort: the depth ordering rides the instance sort below as a
+    # second lexicographic key — an N-sized XLA sort costs ~2.6 ms at
+    # N=100k, and fusing it also shrinks the per-instance info gather
+    # (gid == g_stream in index order).
+    counts = sp.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(counts)
     base = offsets - counts
     total = offsets[-1]
 
-    # packed per-sorted-Gaussian info for one fused row gather:
-    # [rect(10b x0 | 10b y0 | 10b w), base, gid] — the rect packs into
-    # one int32 (10 bits each supports 1024-tile grids = 16k-pixel
-    # frames) so the M-sized row gather below moves 3 ints, not 5
-    rmin = sp.rect_min[order]
-    width = jnp.maximum(sp.rect_max[order, 0] - rmin[:, 0], 1)
+    # packed per-Gaussian info for one fused row gather:
+    # [rect(10b x0 | 10b y0 | 10b w), base, depth-bits] — the rect
+    # packs into one int32 (10 bits each supports 1024-tile grids =
+    # 16k-pixel frames). Valid depths are positive (near-plane culled),
+    # so their fp32 bit pattern is order-preserving as int32.
     assert grid_x <= 1024 and grid_y <= 1024, "rect packing is 10-bit"
-    rect = (rmin[:, 0] << 20) | (rmin[:, 1] << 10) | width
-    info = jnp.stack([rect, base, order], axis=1).astype(jnp.int32)
+    rect = (sp.rect_min[:, 0] << 20) | (sp.rect_min[:, 1] << 10) | \
+        jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 1)
+    depth_bits = jax.lax.bitcast_convert_type(
+        sp.depth.astype(jnp.float32), jnp.int32)
+    info = jnp.stack([rect, base, depth_bits], axis=1)
 
-    # 2) slot -> sorted-Gaussian index: mark first slot of each Gaussian,
+    # 2) slot -> Gaussian index: mark first slot of each Gaussian,
     # then cummax (marks are increasing along the stream).
     slots = jnp.arange(n_inst, dtype=jnp.int32)
     g_idx = jnp.arange(counts.shape[0], dtype=jnp.int32)
@@ -111,15 +115,14 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     in_range = slots < total
     tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
 
-    # 3) sort instances by packed (tile, slot) key, Gaussian id payload.
-    slot_bits = max(n_inst.bit_length(), 1)
-    tile_bits = (num_tiles + 1).bit_length()
-    assert slot_bits + tile_bits <= 32, (
-        f"instance budget 2^{slot_bits} x {num_tiles} tiles exceeds the "
-        "32-bit packed sort key; shrink max_instances or shard tiles")
-    key = (tile.astype(jnp.uint32) << slot_bits) | slots.astype(jnp.uint32)
-    key_sorted, gid = jax.lax.sort_key_val(key, inst_info[:, 2])
-    tile_sorted = (key_sorted >> slot_bits).astype(jnp.int32)
+    # 3) ONE stable two-key lexicographic sort by (tile, depth) with
+    # the Gaussian id payload — the TPU shape of the CUDA 64-bit
+    # [tileID | depth] radix sort (ref:rasterizer_impl.cu:279-322).
+    # Stability makes equal (tile, depth) pairs fall back to the
+    # expansion stream's Gaussian-index order, exactly like the
+    # reference's stable radix over its duplicateWithKeys stream.
+    tile_sorted, _, gid = jax.lax.sort(
+        (tile, inst_info[:, 2], g_stream), num_keys=2, is_stable=True)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tids,
@@ -145,8 +148,10 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # out-of-bounds scatter index -> dropped (mode="drop")
         pos = jnp.where(ok, pos, n_inst)
         gid_aligned = jnp.full_like(gid, -1).at[pos].set(gid, mode="drop")
-        # clamp ranges into the (static) buffer: overflow truncates the
-        # deepest instances, same policy as the unaligned path. The
+        # clamp ranges into the (static) buffer: overflow truncates
+        # instances of the highest-index tiles (the CUDA version cannot
+        # overflow — it allocates exactly; rebudget-on-overflow is the
+        # training-loop safety net here). The
         # ALIGNED demand (seg_cum[-1]) is reported in num_slots so
         # callers can detect truncation — the alignment padding can
         # overflow the buffer even when the raw count fits.

@@ -138,6 +138,16 @@ def _pixel_coords(t, grid_x):
     return px, py
 
 
+def _p6():
+    """(PIX, 6) tile-local pixel moment basis [1, x, y, x^2, xy, y^2]
+    (constant; hoisted out of the chunk loop by the compiler)."""
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    x = (p_ids % TILE).astype(jnp.float32)
+    y = (p_ids // TILE).astype(jnp.float32)
+    one = jnp.ones((PIX, 1), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=1)
+
+
 def _tri():
     """(K, K) upper-triangular ones: X @ tri = inclusive cumsum over
     lanes, on the MXU."""
@@ -202,22 +212,38 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
+    n_chunks = pl.cdiv(end - start, K)
     px, py = _pixel_coords(t, grid_x)
+
+    # double-buffered chunk reads: prefetch chunk k+1 while computing
+    # chunk k so the HBM DMA latency hides behind the VPU/MXU math
+    def in_dma(k, slot):
+        off = pl.multiple_of(start + k * K, K)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
 
     def cond(c):
         k, t_all, t_blend, acc = c
         # t_all is monotone non-increasing, so this early exit actually
         # fires once every pixel has stopped
-        return (start + k * K < end) & (jnp.max(t_all) >= T_EPS)
+        return (k < n_chunks) & (jnp.max(t_all) >= T_EPS)
 
     def body(c):
         k, t_all, t_blend, acc = c
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            in_dma(k + 1, 1 - slot).start()
+
+        in_dma(k, slot).wait()
+        f = scratch[slot]
         off = pl.multiple_of(start + k * K, K)
-        dma = pltpu.make_async_copy(
-            feat_ref.at[:, pl.ds(off, K)], scratch, sem)
-        dma.start()
-        dma.wait()
-        f = scratch[:]
         ck = _chunk_common(f, px, py, off, end, t_all)
         fout = f[6:6 + n_out, :]              # (n_out, K)
         acc = acc + jax.lax.dot_general(
@@ -228,7 +254,14 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
             jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, n_out), jnp.float32))
-    _, _, t_blend, acc = jax.lax.while_loop(cond, body, init)
+    k_done, _, t_blend, acc = jax.lax.while_loop(cond, body, init)
+
+    # early exit leaves exactly one prefetched chunk in flight — drain
+    # it so the DMA semaphore balances
+    @pl.when(k_done < n_chunks)
+    def _():
+        in_dma(k_done, jax.lax.rem(k_done, 2)).wait()
+
     out_ref[0, :, :n_out] = acc
     out_ref[0, :, n_out:n_out + 1] = t_blend
     out_ref[0, :, n_out + 1:] = jnp.zeros(
@@ -236,8 +269,16 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
 
 
 def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
-                dfeat_ref, scratch, dscratch, tscratch, sem_in, sem_out,
-                *, grid_x, n_out):
+                zeros_ref, dfeat_ref, scratch, dscratch, tscratch,
+                sem_in, sem_out, *, grid_x, n_out):
+    """zeros_ref is aliased to dfeat_ref (input_output_aliases): XLA
+    materializes the all-zero instance-grad buffer at full HBM
+    bandwidth BEFORE the kernel, so slots past each tile\'s early-exit
+    point need no chunked zero-fill DMAs here (a tile segment can hold
+    thousands of post-termination slots; writing them 64 KB at a time
+    from the kernel was latency-bound)."""
+    del zeros_ref
+    d_rows = dscratch.shape[0]            # the d real feature rows
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
@@ -253,14 +294,43 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
     n_chunks = pl.cdiv(end - start, K)
 
+    def in_dma(k, slot):
+        off = pl.multiple_of(start + k * K, K)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
+            sem_in.at[slot])
+
+    def out_dma(k, slot):
+        off = pl.multiple_of(start + k * K, K)
+        return pltpu.make_async_copy(
+            tscratch.at[slot], dfeat_ref.at[pl.ds(off, K)],
+            sem_out.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    # the padding lanes of both row-major output tiles are constant
+    # zero — write them once, outside the chunk loop
+    tscratch[0, :, d_rows:] = jnp.zeros(
+        (K, tscratch.shape[2] - d_rows), jnp.float32)
+    tscratch[1, :, d_rows:] = jnp.zeros(
+        (K, tscratch.shape[2] - d_rows), jnp.float32)
+    # d_pad alignment rows (between 6+n_out and d_rows) likewise
+    dscratch[6 + n_out:, :] = jnp.zeros(
+        (d_rows - 6 - n_out, K), jnp.float32)
+
     def body(c):
         k, t_all, prefix = c
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            in_dma(k + 1, 1 - slot).start()
+
+        in_dma(k, slot).wait()
+        f = scratch[slot]
         off = pl.multiple_of(start + k * K, K)
-        dma = pltpu.make_async_copy(
-            feat_ref.at[:, pl.ds(off, K)], scratch, sem_in)
-        dma.start()
-        dma.wait()
-        f = scratch[:]
         ck = _chunk_common(f, px, py, off, end, t_all)
         w, q, active = ck["w"], ck["q"], ck["active"]
         fout = f[6:6 + n_out, :]
@@ -281,42 +351,68 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         dalpha = jnp.where(active, t_prev * fdotg - r_suffix / q, 0.0)
         unclamped = ck["raw"] < ALPHA_CLAMP
         dG = jnp.where(unclamped, ck["opa"] * dalpha, 0.0)
-        dopa_pix = jnp.where(unclamped, ck["g_exp"] * dalpha, 0.0)
         dpow = ck["g_exp"] * dG
-        dx, dy = ck["dx"], ck["dy"]
-        ddx = dpow * (-(ck["ca"] * dx + ck["cb"] * dy))
-        ddy = dpow * (-(ck["cc"] * dy + ck["cb"] * dx))
 
-        dscratch[0:1, :] = jnp.sum(ddx, axis=0, keepdims=True)
-        dscratch[1:2, :] = jnp.sum(ddy, axis=0, keepdims=True)
-        dscratch[2:3, :] = jnp.sum(dpow * (-0.5 * dx * dx), axis=0,
-                                   keepdims=True)
-        dscratch[3:4, :] = jnp.sum(dpow * (-dx * dy), axis=0,
-                                   keepdims=True)
-        dscratch[4:5, :] = jnp.sum(dpow * (-0.5 * dy * dy), axis=0,
-                                   keepdims=True)
-        dscratch[5:6, :] = jnp.sum(dopa_pix, axis=0, keepdims=True)
+        # ---- geometric grads via pixel MOMENTS (one MXU matmul) ----
+        # Each of the five mean2d/conic grad sums is a polynomial in
+        # the pixel coordinate weighted by dpow, so all five collapse
+        # into the 0th..2nd moments of dpow over the tile's pixels:
+        #   mom = P6^T @ dpow,  P6 = [1, px, py, px^2, px*py, py^2]
+        # (TILE-LOCAL coordinates keep px^2 <= 225, so the expansion
+        # terms below stay well-conditioned.) This replaces ~15
+        # (PIX, K) VPU ops + 5 sublane reductions per chunk with one
+        # (6, PIX) @ (PIX, K) MXU op + (1, K) algebra. The forward
+        # quantities (power, alpha, masks) are untouched, so every
+        # threshold decision still matches the CUDA kernel bit-for-bit;
+        # only the gradient accumulation order changes (same sums,
+        # different rounding — the reference's atomicAdd order is
+        # nondeterministic anyway). ref:cuda_rasterizer/backward.cu:
+        # 598-621.
+        mom = jax.lax.dot_general(
+            _p6(), dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (6, K)
+        m0, m1, m2 = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+        m3, m4, m5 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+        tx0 = ((t % grid_x) * TILE).astype(jnp.float32)
+        ty0 = ((t // grid_x) * TILE).astype(jnp.float32)
+        x_l = f[0:1, :] - tx0                            # (1, K)
+        y_l = f[1:2, :] - ty0
+        ca, cb, cc, opa = ck["ca"], ck["cb"], ck["cc"], ck["opa"]
+
+        dscratch[0:1, :] = -(ca * x_l + cb * y_l) * m0 + ca * m1 \
+            + cb * m2
+        dscratch[1:2, :] = -(cc * y_l + cb * x_l) * m0 + cc * m2 \
+            + cb * m1
+        dscratch[2:3, :] = -0.5 * (x_l * x_l * m0 - 2.0 * x_l * m1
+                                   + m3)
+        dscratch[3:4, :] = -(x_l * y_l * m0 - x_l * m2 - y_l * m1
+                             + m4)
+        dscratch[4:5, :] = -0.5 * (y_l * y_l * m0 - 2.0 * y_l * m2
+                                   + m5)
+        # dpow = opa * (g_exp * dalpha * unclamped), so the opacity
+        # grad is m0 / opa (sentinel columns have opa == 0 -> 0)
+        dscratch[5:6, :] = jnp.where(opa > 0.0, m0 / opa, 0.0)
         dscratch[6:6 + n_out, :] = dfo
-        # zero the padding rows up to DOUT (uninitialized scratch)
-        dscratch[6 + n_out:, :] = jnp.zeros(
-            (dscratch.shape[0] - 6 - n_out, K), jnp.float32)
-        # flip to row-major (K, DOUT) on this 64 KB VMEM tile so the
-        # caller's gather/cumsum reduction never pays a
-        # (D, M) -> (M, D) transpose at instance scale; DOUT = 128
-        # because Mosaic manual-DMA slices must be 128-aligned along
-        # the minor dim (the extra zero lanes cost only write DMA
-        # bytes in this kernel)
-        tscratch[:, :] = dscratch[:].T
-        wdma = pltpu.make_async_copy(
-            tscratch, dfeat_ref.at[pl.ds(off, K)], sem_out)
-        wdma.start()
-        wdma.wait()
+
+        # double-buffered writes: make sure the DMA that last read this
+        # tscratch slot (chunk k-2) is done before overwriting it
+        @pl.when(k >= 2)
+        def _():
+            out_dma(k - 2, slot).wait()
+
+        # flip the d real rows to row-major (K, d) on this VMEM tile so
+        # the caller\'s scatter reduction never pays a (D, M) -> (M, D)
+        # transpose at instance scale
+        tscratch[slot, :, :d_rows] = dscratch[:, :].T
+        out_dma(k, slot).start()
+
         prefix = prefix + jnp.sum(wf, axis=1, keepdims=True)
         return k + 1, ck["t_next"], prefix
 
-    # phase 1: gradient walk with the forward's early termination (all
-    # grads past the cutoff are zero — the CUDA backward skips them via
-    # last_contributor, ref:backward.cu:527-529)
+    # gradient walk with the forward\'s early termination (all grads
+    # past the cutoff are zero — the CUDA backward skips them via
+    # last_contributor, ref:backward.cu:527-529); those slots keep the
+    # pre-zeroed buffer contents (see docstring)
     def cond(c):
         k, t_all, _ = c
         return (k < n_chunks) & (jnp.max(t_all) >= T_EPS)
@@ -325,20 +421,18 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
             jnp.zeros((PIX, 1), jnp.float32))
     k_done, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # phase 2: zero-fill the untouched chunks of this tile's segment so
-    # every covered slot is written exactly once (determinism contract)
-    tscratch[:, :] = jnp.zeros(
-        (K, tscratch.shape[1]), jnp.float32)
+    # drain: one prefetched read (early exit) and up to two writes
+    @pl.when(k_done < n_chunks)
+    def _():
+        in_dma(k_done, jax.lax.rem(k_done, 2)).wait()
 
-    def zero_body(k, _):
-        off = pl.multiple_of(start + k * K, K)
-        zdma = pltpu.make_async_copy(
-            tscratch, dfeat_ref.at[pl.ds(off, K)], sem_out)
-        zdma.start()
-        zdma.wait()
-        return 0
+    @pl.when(k_done >= 2)
+    def _():
+        out_dma(k_done - 2, jax.lax.rem(k_done, 2)).wait()
 
-    jax.lax.fori_loop(k_done, n_chunks, zero_body, 0)
+    @pl.when(k_done >= 1)
+    def _():
+        out_dma(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -371,8 +465,8 @@ def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
                                lambda t, s, e: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((feat.shape[0], K), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -400,23 +494,28 @@ def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX, outc), lambda t, s, e: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
             pltpu.VMEM((feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((DOUT, K), jnp.float32),
-            pltpu.VMEM((K, DOUT), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, K, DOUT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # the zeros input is aliased to the dfeat output (index 5 counts
+    # the two scalar-prefetch operands): see _bwd_kernel docstring
     dfeat = pl.pallas_call(
         partial(_bwd_kernel, grid_x=grid_x, n_out=n_out),
         out_shape=jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, feat, out, g)
+    )(starts, ends, feat, out, g,
+      jnp.zeros((n_inst, DOUT), jnp.float32))
     # rows never covered by a tile segment hold uninitialized memory;
     # the reduction masks them out via their sentinel gids (gid < 0),
     # so no instance-scale rowmask pass is needed (~0.9 ms saved)

@@ -238,23 +238,61 @@ def preprocess(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     radius = radius_f.astype(jnp.int32)
 
+    opacity = jax.nn.sigmoid(scene.opacity[:, 0])
+    # Opacity-aware BINNING radius (the reported `radius` above stays
+    # at the reference's 3*sigma for densify-stat parity): a pixel only
+    # blends when alpha = opa * exp(-q/2) >= 1/255, i.e. q <= 2 ln(255
+    # opa), and |d|^2 <= q * lam_max on the level set — so tiles
+    # beyond r_bin = sqrt(min(9, 2 ln(255 opa)) * lam_max) hold pixels
+    # the CUDA kernel walks but ALWAYS skips
+    # (ref:cuda_rasterizer/forward.cu:336-344 alpha < 1/255 continue).
+    # Dropping those instances is output-exact and shrinks every
+    # M-scaled stage (binning, pack, kernel walks, gradient scatter).
+    # The min(9, .) keeps the 3-sigma cap: the reference's rect never
+    # exceeds 3 sigma even when opacity could push alpha past 1/255
+    # farther out, and exceeding it would ADD pixels the reference
+    # structurally excludes. The tiny (1 + 1e-6) guard absorbs fp32
+    # rounding differences between this bound and the kernel's own
+    # per-pixel power evaluation.
+    # (q_cut <= 0 iff opa <= 1/255: the whole Gaussian is sub-threshold
+    # everywhere; r_bin = 0 still bins the ~1-tile rect around the
+    # center, and the blend's per-pixel alpha >= 1/255 test skips it.)
+    q_cut = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+    r_bin = jnp.ceil(jnp.sqrt(
+        jnp.minimum(9.0, jnp.maximum(q_cut, 0.0) * (1.0 + 1e-6))
+        * jnp.maximum(lam_max, 0.0)))
+
     px = ndc2pix(pc0 * p_w, cam.width)
     py = ndc2pix(pc1 * p_w, cam.height)
 
-    # Tile rect (ref:auxiliary.h:46-56). C int-cast truncates toward zero,
-    # but negatives clamp to 0 anyway, so floor+clip is equivalent.
+    # Tile rect (ref:auxiliary.h:46-56), from the opacity-aware binning
+    # radius. C int-cast truncates toward zero, but negatives clamp to
+    # 0 anyway, so floor+clip is equivalent.
     inv_t = 1.0 / TILE
-    rmin_x = jnp.clip(jnp.floor((px - radius_f) * inv_t).astype(jnp.int32),
+    rmin_x = jnp.clip(jnp.floor((px - r_bin) * inv_t).astype(jnp.int32),
                       0, grid_x)
-    rmin_y = jnp.clip(jnp.floor((py - radius_f) * inv_t).astype(jnp.int32),
+    rmin_y = jnp.clip(jnp.floor((py - r_bin) * inv_t).astype(jnp.int32),
                       0, grid_y)
-    rmax_x = jnp.clip(jnp.floor((px + radius_f + TILE - 1) * inv_t)
+    rmax_x = jnp.clip(jnp.floor((px + r_bin + TILE - 1) * inv_t)
                       .astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(jnp.floor((py + radius_f + TILE - 1) * inv_t)
+    rmax_y = jnp.clip(jnp.floor((py + r_bin + TILE - 1) * inv_t)
                       .astype(jnp.int32), 0, grid_y)
     area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
-    valid = scene.valid & in_front & det_ok & (area > 0)
+    # validity/radius keep the reference's 3-sigma rect semantics
+    # (ref:forward.cu:191-195): a Gaussian whose 3-sigma rect is on
+    # screen stays `valid` (and reports its radius to the densify
+    # stats) even when its sub-threshold rect binned zero tiles.
+    a3_x = (jnp.clip(jnp.floor((px + radius_f + TILE - 1) * inv_t)
+                     .astype(jnp.int32), 0, grid_x)
+            - jnp.clip(jnp.floor((px - radius_f) * inv_t)
+                       .astype(jnp.int32), 0, grid_x))
+    a3_y = (jnp.clip(jnp.floor((py + radius_f + TILE - 1) * inv_t)
+                     .astype(jnp.int32), 0, grid_y)
+            - jnp.clip(jnp.floor((py - radius_f) * inv_t)
+                       .astype(jnp.int32), 0, grid_y))
+
+    valid = scene.valid & in_front & det_ok & (a3_x * a3_y > 0)
     radius = jnp.where(valid, radius, 0)
     tiles = jnp.where(valid, area, 0)
 
@@ -275,7 +313,7 @@ def preprocess(
         mean2d=jnp.stack([px, py], axis=-1),
         depth=p_view_z,
         conic=jnp.stack([conic_a, conic_b, conic_c], axis=-1),
-        opacity=jax.nn.sigmoid(scene.opacity[:, 0]),
+        opacity=opacity,
         color=color,
         semantics=scene.get_semantics(semantic_masks),
         radius=radius,
