@@ -9,6 +9,12 @@ here is one rendered pixel of a full differentiable RGB+semantic render
 (3+10+1+1 channels), gradient taken w.r.t. all Gaussian parameters —
 the reference rasterizer's full forward+backward workload
 (ref:cuda_rasterizer/forward.cu, backward.cu).
+
+`--detail` additionally measures forward-only interactive rendering
+(the reference GUI's FPS counter workload, ref:gui/main.py:596-602) at
+the training shape and at a 1296x968 ScanNet-like frame, plus an
+RGB-only (sem_dim 0) training step, and writes BENCH_DETAIL.json.
+The headline stdout line is unchanged.
 """
 
 import json
@@ -18,7 +24,53 @@ import time
 import numpy as np
 
 
+def _make_scene(n, sem_dim, seed=0):
+    import jax.numpy as jnp
+    from goi_tpu.core.scene import GaussianScene
+    rng = np.random.default_rng(seed)
+    scene = GaussianScene.create(
+        rng.normal(0, 1.0, (n, 3)).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        sh_degree=3, sem_dim=sem_dim,
+        scales=rng.uniform(0.005, 0.02, n).astype(np.float32))
+    scene = scene.replace(
+        active_sh_degree=3,
+        opacity=scene.opacity
+        + jnp.asarray(rng.normal(0, 1, (n, 1)).astype(np.float32)))
+    if sem_dim:
+        scene = scene.replace(semantics=jnp.asarray(
+            rng.normal(0, 0.3, (n, sem_dim)).astype(np.float32)))
+    return scene
+
+
+def _fwd_fps(scene, cam, iters=30):
+    """Forward-only steady-state FPS (the GUI interactive workload)."""
+    import jax
+    import jax.numpy as jnp
+    from goi_tpu.raster import RasterConfig, render
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_instance_budget
+    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
+    cfg = RasterConfig(max_instances=budget, backend="pallas")
+
+    def many(params):
+        def it(i, acc):
+            p = jax.tree.map(
+                lambda x: x * (1.0 + i.astype(jnp.float32) * 1e-12),
+                params)
+            out = render(scene.with_params(p), cam, jnp.zeros(3), cfg)
+            return acc + jnp.sum(out["render"][:, ::64, ::64])
+        return jax.lax.fori_loop(0, iters, it, 0.0)
+
+    step = jax.jit(many)
+    jax.block_until_ready(step(scene.params()))
+    t0 = time.time()
+    jax.block_until_ready(step(scene.params()))
+    return iters / (time.time() - t0)
+
+
 def main():
+    detail = "--detail" in sys.argv
     from goi_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -90,6 +142,26 @@ def main():
 
     rays = width * height
     mrays = rays / dt / 1e6
+
+    if detail:
+        det = {"train_step_ms": round(dt * 1000, 3),
+               "train_mrays_per_s": round(mrays, 3),
+               "config": {"n_gauss": n, "frame": [width, height],
+                          "sem_dim": 10, "sh_degree": 3}}
+        # interactive fwd-only FPS at the training shape
+        det["fwd_fps_512_sem"] = round(_fwd_fps(scene, cam), 1)
+        # ScanNet-like GUI frame (ref GUI renders ~780x520-1296x968)
+        cam_big = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
+                                 fovx=1.1, fovy=0.9, width=1296,
+                                 height=968)
+        det["fwd_fps_1296x968_sem"] = round(_fwd_fps(scene, cam_big), 1)
+        # RGB-only training step (no-semantic reference variant)
+        rgb_scene = _make_scene(n, 0)
+        det["fwd_fps_512_rgb"] = round(_fwd_fps(rgb_scene, cam), 1)
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(det, f, indent=1)
+        print(json.dumps(det), file=sys.stderr)
+
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd",
         "value": round(mrays, 3),

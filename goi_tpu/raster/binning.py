@@ -104,7 +104,11 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         jnp.where(counts > 0, base, n_inst)].set(g_idx, mode="drop")
     g_stream = jax.lax.cummax(mark)
 
-    inst_info = info[g_stream]                          # (n_inst, 3)
+    # g_stream is a cummax => monotone non-decreasing, always in
+    # [0, P): the sorted/in-bounds hints let XLA emit a sequential
+    # run-expansion instead of a random-access gather
+    inst_info = info.at[g_stream].get(
+        indices_are_sorted=True, mode="promise_in_bounds")  # (n_inst, 3)
     rect_i = inst_info[:, 0]
     local = slots - inst_info[:, 1]
     # row-major walk of the rect, matching duplicateWithKeys' y-outer
@@ -138,16 +142,22 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         a_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                    seg_cum[:-1]]).astype(jnp.int32)
         a_end = a_start + counts_t
-        # fused (T, 2) lut gather: aligned start & unaligned start
+        # fused (T, 2) lut gather: aligned start & unaligned start.
+        # tile_clipped rides the sort => non-decreasing, in [0, T)
         lut = jnp.stack([a_start, starts], axis=1)
         tile_clipped = jnp.minimum(tile_sorted, num_tiles - 1)
-        lrow = lut[tile_clipped]
+        lrow = lut.at[tile_clipped].get(indices_are_sorted=True,
+                                        mode="promise_in_bounds")
         rank = jnp.arange(n_inst, dtype=jnp.int32) - lrow[:, 1]
         pos = lrow[:, 0] + rank
         ok = tile_sorted < num_tiles
-        # out-of-bounds scatter index -> dropped (mode="drop")
-        pos = jnp.where(ok, pos, n_inst)
-        gid_aligned = jnp.full_like(gid, -1).at[pos].set(gid, mode="drop")
+        # valid pos is STRICTLY increasing (rank increases within a
+        # tile, aligned starts increase across tiles); sentinel rows
+        # are the sorted tail — a 2^30 sentinel keeps the whole index
+        # stream sorted and out-of-bounds (mode="drop" discards it)
+        pos = jnp.where(ok, pos, jnp.int32(2 ** 30))
+        gid_aligned = jnp.full_like(gid, -1).at[pos].set(
+            gid, mode="drop", indices_are_sorted=True)
         # clamp ranges into the (static) buffer: overflow truncates
         # instances of the highest-index tiles (the CUDA version cannot
         # overflow — it allocates exactly; rebudget-on-overflow is the
