@@ -51,10 +51,12 @@ def render_sharded(
     n_dev = mesh.shape[axis]
     grid_x = (cam.width + TILE - 1) // TILE
     grid_y = (cam.height + TILE - 1) // TILE
-    assert grid_y % n_dev == 0, (
-        f"tile rows {grid_y} must divide over {n_dev} devices; pad the "
-        f"image height to a multiple of {n_dev * TILE}")
-    gy_local = grid_y // n_dev
+    # auto-pad the tile rows to a multiple of the device count: the
+    # padding rows lie below the frame, so no instance ever touches
+    # them — trailing devices just blend background-only tiles that the
+    # final [:h] slice discards
+    grid_y_pad = -(-grid_y // n_dev) * n_dev
+    gy_local = grid_y_pad // n_dev
     local_budget = config.max_instances // n_dev
 
     from goi_tpu.raster.pallas_blend import K as PALLAS_K
