@@ -99,7 +99,16 @@ def main():
 
     # ---- 2. dataset: RGB + APE feature maps + GT object masks ----
     rng = np.random.default_rng(1)
-    obj_feats = rng.normal(0, 1, (6, ape_dim)).astype(np.float32)
+    # Simplex-separated unit features (pairwise dot exactly -1/(n-1)):
+    # the synthetic stand-in must reproduce the ALIGNED space's key
+    # property that non-matching pixel/text dots are negative — the
+    # reference's decision rule sigmoid(dot*scale + 2) > 0.86 fires for
+    # ANY dot > -0.015 (ref:ext/vision_language_align.py:109-122,
+    # gui/main.py:378-380), which iid random unit vectors (cross-dots
+    # ~0 +- 1/sqrt(d)) violate on ~half the non-matching pixels.
+    q, _ = np.linalg.qr(rng.normal(0, 1, (ape_dim, 6)))
+    basis = q.T.astype(np.float32)                    # 6 orthonormal
+    obj_feats = basis - basis.mean(0, keepdims=True)
     obj_feats /= np.linalg.norm(obj_feats, axis=1, keepdims=True)
     bg_feat = obj_feats[5]  # background carries its own feature
 
