@@ -71,27 +71,17 @@ def _conv(p, k, x, stride=1, pad=1):
     return y + b[None, :, None, None]
 
 
-def _linear(p, k, x):
-    return x @ p[k + ".weight"].T + p[k + ".bias"]
+from goi_tpu.query._nn import linear as _linear
 
 
 def _group_norm(p, k, x, groups, eps=1e-5):
-    n, c, h, w = x.shape
-    g = min(groups, c)
-    xg = x.reshape(n, g, c // g, h, w)
-    mu = xg.mean(axis=(2, 3, 4), keepdims=True)
-    var = ((xg - mu) ** 2).mean(axis=(2, 3, 4), keepdims=True)
-    xg = (xg - mu) / jnp.sqrt(var + eps)
-    x = xg.reshape(n, c, h, w)
-    return x * p[k + ".weight"][None, :, None, None] \
-        + p[k + ".bias"][None, :, None, None]
+    from goi_tpu.query._nn import group_norm
+    return group_norm(p, k, x, groups=groups, eps=eps)
 
 
 def _layer_norm(p, k, x, eps=1e-5):
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * p[k + ".weight"] \
-        + p[k + ".bias"]
+    from goi_tpu.query._nn import layer_norm
+    return layer_norm(p, k, x, eps=eps)
 
 
 def _silu(x):

@@ -446,6 +446,10 @@ class Zero123SDS:
 
     def _cond(self, batch):
         c, v = self.embeddings
+        if batch % c.shape[0]:
+            raise ValueError(
+                f"render batch {batch} must be a multiple of the "
+                f"set_image() reference batch {c.shape[0]}")
         reps = batch // c.shape[0]
         return (jnp.tile(c, (reps, 1, 1)),
                 jnp.tile(v, (reps, 1, 1, 1)))

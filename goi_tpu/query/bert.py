@@ -101,7 +101,7 @@ class BertTokenizer:
         self.pad_id = self.vocab.get("[PAD]", 0)
 
     def _wordpiece(self, word: str) -> List[int]:
-        if len(word) > 200:
+        if len(word) > 100:   # HF BERT max_input_chars_per_word
             return [self.unk_id]
         ids: List[int] = []
         start = 0
@@ -193,19 +193,12 @@ def special_token_masks(input_ids: np.ndarray,
 # encoder
 # ---------------------------------------------------------------------------
 
-def _ln(p, name, x, eps=1e-12):
-    m = jnp.mean(x, -1, keepdims=True)
-    v = jnp.var(x, -1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+from goi_tpu.query._nn import gelu as _gelu, linear as _linear
+from goi_tpu.query._nn import layer_norm as _layer_norm
 
 
-def _linear(p, name, x):
-    return x @ p[f"{name}.weight"].T + p[f"{name}.bias"]
-
-
-def _gelu(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0)))
+def _ln(p, name, x, eps=1e-12):   # BERT eps (HF config default)
+    return _layer_norm(p, name, x, eps=eps)
 
 
 def bert_forward(p: dict, cfg: BertConfig, input_ids: jax.Array,

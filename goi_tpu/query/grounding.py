@@ -84,15 +84,12 @@ GDINO_TINY_TEST = GroundingConfig(
 # primitives
 # ---------------------------------------------------------------------------
 
-def _ln(p, name, x, eps=1e-5):
-    m = jnp.mean(x, -1, keepdims=True)
-    v = jnp.var(x, -1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+from goi_tpu.query._nn import linear as _linear
+from goi_tpu.query._nn import layer_norm as _layer_norm
 
 
-def _linear(p, name, x):
-    return x @ p[f"{name}.weight"].T + p[f"{name}.bias"]
+def _ln(p, name, x, eps=1e-5):   # torch nn.LayerNorm default
+    return _layer_norm(p, name, x, eps=eps)
 
 
 def _mlp(p, name, x, layers=3):
@@ -126,16 +123,8 @@ def _mha(p, name, q, k, v, heads: int, *, attn_bias=None):
 
 
 def _group_norm(p, name, x, groups=32, eps=1e-5):
-    """torch GroupNorm on NCHW."""
-    b, c, h, w = x.shape
-    g = min(groups, c)
-    xg = x.reshape(b, g, c // g, h, w)
-    m = jnp.mean(xg, (2, 3, 4), keepdims=True)
-    v = jnp.var(xg, (2, 3, 4), keepdims=True)
-    xg = (xg - m) / jnp.sqrt(v + eps)
-    return xg.reshape(b, c, h, w) * p[f"{name}.weight"][None, :, None,
-                                                        None] \
-        + p[f"{name}.bias"][None, :, None, None]
+    from goi_tpu.query._nn import group_norm
+    return group_norm(p, name, x, groups=groups, eps=eps)
 
 
 def _sine_embed_1d(x, num_feats: int, temperature: float = 10000.0):
@@ -592,7 +581,18 @@ class GroundingDINOJax:
         cap = caption.lower().strip()
         if not cap.endswith("."):
             cap = cap + "."
-        ids = self.tokenizer.encode(cap)[:self.cfg.text_pad]
+        ids = self.tokenizer.encode(cap)
+        if len(ids) > self.cfg.text_pad:
+            # force a ". [SEP]" terminator so the last sub-sentence
+            # still gets a bertwarper attention block + position ids:
+            # special_token_masks skips a special token at the LAST
+            # position (ref:bertwarper.py:240), so the block for the
+            # tail is filled by the '.' at n-2 — a bare truncation
+            # leaves the tail diagonal-only at position 0, silently
+            # ignoring it
+            ids = ids[:self.cfg.text_pad]
+            ids[-2] = self.tokenizer.vocab["."]
+            ids[-1] = self.tokenizer.sep_id
         n = len(ids)
         pad = self.cfg.text_pad - n
         ids_np = np.asarray(ids + [self.tokenizer.pad_id] * pad,

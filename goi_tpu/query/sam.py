@@ -94,12 +94,12 @@ def _deconv2x(p, name, x):
     return y if b is None else y + b[None, :, None, None]
 
 
-def _ln(p, name, x, eps=1e-6):
-    """LayerNorm over the trailing dim."""
-    m = jnp.mean(x, -1, keepdims=True)
-    v = jnp.var(x, -1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+from goi_tpu.query._nn import gelu as _gelu, linear as _linear
+from goi_tpu.query._nn import layer_norm as _layer_norm
+
+
+def _ln(p, name, x, eps=1e-6):   # SAM pins 1e-6 (modeling/common.py)
+    return _layer_norm(p, name, x, eps=eps)
 
 
 def _ln2d(p, name, x, eps=1e-6):
@@ -110,14 +110,6 @@ def _ln2d(p, name, x, eps=1e-6):
     x = (x - m) / jnp.sqrt(v + eps)
     return x * p[f"{name}.weight"][None, :, None, None] \
         + p[f"{name}.bias"][None, :, None, None]
-
-
-def _linear(p, name, x):
-    return x @ p[f"{name}.weight"].T + p[f"{name}.bias"]
-
-
-def _gelu(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0)))
 
 
 def _mlp_block(p, name, x, act=_gelu):

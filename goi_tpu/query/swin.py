@@ -50,22 +50,12 @@ SWIN_TINY_TEST = SwinConfig(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
                             window=4, out_indices=(0, 1))
 
 
-def _ln(p, name, x, eps=1e-5):
-    m = jnp.mean(x, -1, keepdims=True)
-    v = jnp.var(x, -1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+from goi_tpu.query._nn import gelu as _gelu, linear as _linear
+from goi_tpu.query._nn import layer_norm as _layer_norm
 
 
-def _linear(p, name, x):
-    w = p[f"{name}.weight"]
-    b = p.get(f"{name}.bias")
-    y = x @ w.T
-    return y if b is None else y + b
-
-
-def _gelu(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0)))
+def _ln(p, name, x, eps=1e-5):   # torch nn.LayerNorm default
+    return _layer_norm(p, name, x, eps=eps)
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:

@@ -5,20 +5,24 @@ TPU re-design of the CUDA pipeline (CUB prefix scan + duplicateWithKeys +
 64-bit radix sort + identifyTileRanges,
 ref:cuda_rasterizer/rasterizer_impl.cu:35-138,279-322):
 
-- Stably sort the P Gaussians by depth once, then expand instances in
-  depth-major order. The slot->Gaussian mapping is a scatter + cummax
-  (marking each Gaussian's first slot, then a running max) — an
-  associative scan instead of the binary-search `searchsorted`, which
-  costs log(P) serialized gather rounds on TPU.
+- Expand instances in Gaussian-INDEX order (no standalone depth
+  argsort — depth rides the instance sort below as a second key). The
+  slot->Gaussian mapping is a scatter + cummax (marking each Gaussian's
+  first slot, then a running max) — an associative scan instead of the
+  binary-search `searchsorted`, which costs log(P) serialized gather
+  rounds on TPU.
 - Per-instance attributes come from ONE fused row-gather of a packed
   per-Gaussian int matrix (TPU gathers amortize over contiguous rows).
-- Instances sort by a single packed uint32 (tile << slot_bits | slot)
-  key with the Gaussian id as payload; the embedded unique slot makes
-  the sort stable, so per-tile order is (depth asc, Gaussian idx asc) —
-  bit-identical to the CUDA stable radix sort over [tileID|depth] keys.
-- XLA needs static shapes: the instance buffer is a fixed `max_instances`
-  budget; overflow drops the *deepest* instances (the stream is
-  depth-major) and padding carries a sentinel tile id.
+- Instances sort by a stable two-key (tile, depth-bits) lexicographic
+  sort with the Gaussian id as payload; stability breaks (tile, depth)
+  ties by expansion-stream order — the same order as the CUDA stable
+  radix sort over [tileID|depth] keys (ref:rasterizer_impl.cu:279-322).
+- XLA needs static shapes: the instance buffer is a fixed
+  `max_instances` budget. On overflow the expansion stream truncates at
+  the budget, dropping the instances of the HIGHEST Gaussian indices
+  (arbitrary scene content — not the deepest); `num_slots` reports the
+  true demand so training loops detect the overflow and rebudget
+  (train/rgb.py, train/distill.py). Padding carries a sentinel tile id.
 """
 
 from __future__ import annotations
@@ -90,8 +94,11 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     # 16k-pixel frames). Valid depths are positive (near-plane culled),
     # so their fp32 bit pattern is order-preserving as int32.
     assert grid_x <= 1024 and grid_y <= 1024, "rect packing is 10-bit"
+    # width is stored as w-1 (0..1023): a full-frame Gaussian on a
+    # 1024-wide grid has w == 1024, which would overflow a raw 10-bit
+    # field into y0 and make the % / // below divide by zero
     rect = (sp.rect_min[:, 0] << 20) | (sp.rect_min[:, 1] << 10) | \
-        jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 1)
+        (jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 1) - 1)
     depth_bits = jax.lax.bitcast_convert_type(
         sp.depth.astype(jnp.float32), jnp.int32)
     info = jnp.stack([rect, base, depth_bits], axis=1)
@@ -113,7 +120,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     local = slots - inst_info[:, 1]
     # row-major walk of the rect, matching duplicateWithKeys' y-outer
     # x-inner loop (ref:rasterizer_impl.cu:70-95).
-    w_i = rect_i & 0x3FF
+    w_i = (rect_i & 0x3FF) + 1
     tx = (rect_i >> 20) + local % w_i
     ty = ((rect_i >> 10) & 0x3FF) + local // w_i
     in_range = slots < total

@@ -4,12 +4,14 @@ TPU-native replacement for renderCUDA forward/backward
 (ref:cuda_rasterizer/forward.cu:261-386, backward.cu:413-625). One grid
 program per 16x16 tile; instance data arrives pre-gathered and
 tile-segmented (K-aligned segments from bin_splats(align=K)) as one
-ROW-major (N_inst+K, D_pad) matrix in HBM, so every chunk is ONE
-contiguous (K, D_pad) DMA — the TPU answer to the CUDA kernel's
-shared-memory batch fetches. The kernels flip each chunk to
-feature-major (D_pad, K) on a 64 KB VMEM tile; keeping HBM row-major
-means neither pack_features nor its VJP ever pays an instance-scale
-transpose (~3 ms each at M ~ 500k).
+FEATURE-major (D_pad, N_inst+K) matrix in HBM, so every chunk is ONE
+contiguous-minor (D_pad, K) DMA — the TPU answer to the CUDA kernel's
+shared-memory batch fetches. (A row-major input layout measured SLOWER
+overall — see _pack_impl.) Gradients go the other way: the backward
+kernel flips each chunk's grads to ROW-major (K, DOUT) on a VMEM tile
+before the write-out, so the instance->Gaussian reduction consumes
+whole rows and neither side ever pays an instance-scale (D, M)->(M, D)
+transpose (~3 ms at M ~ 500k).
 
 Per chunk of K=128 instances (all (256, K) VPU math + MXU matmuls):
   power/alpha as in the CUDA kernel (0.99 clamp, 1/255 skip, T<1e-4
@@ -534,6 +536,12 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
     (color (T,256,3), sem (T,256,S), depth (T,256), alpha (T,256)).
     Requires bin_splats(..., align=K)."""
     s = sp.semantics.shape[-1]
+    d = 7 + 3 + s
+    if d + ((-d) % 8) > DOUT:
+        raise ValueError(
+            f"sem_dim {s} needs {d + ((-d) % 8)} grad lanes > DOUT="
+            f"{DOUT} (the pallas backward's row-major grad tile); use "
+            f"RasterConfig(backend='xla') for sem_dim > {DOUT - 10}")
     n_out = 3 + s + 1
     raw = _blend_core(grid_x, grid_y, n_out, sp.mean2d, sp.conic,
                       sp.opacity, sp.color, sp.semantics, sp.depth,

@@ -138,6 +138,7 @@ def train_rgb(
 
     rng = np.random.default_rng(seed)
     stack: list = []
+    pending_slots = None     # device scalar from the PREVIOUS step
     for it in range(1, iterations + 1):
         if it % 1000 == 0:
             state = dataclasses.replace(
@@ -169,10 +170,15 @@ def train_rgb(
         # ---- instance-budget hardening, EVERY iteration: scales keep
         # growing after densification ends, so the aligned demand can
         # cross the budget at any point in training; past the budget
-        # the deepest instances are silently truncated and the loss
-        # collapses (observed: clean 7k-iter run diverged at ~iter 4700
-        # exactly when num_slots crossed max_instances). ----
-        slots = int(aux["num_slots"])
+        # instances are silently truncated and the loss collapses
+        # (observed: clean 7k-iter run diverged at ~iter 4700 exactly
+        # when num_slots crossed max_instances). The check reads the
+        # PREVIOUS step's counter: int() on the just-dispatched step
+        # would block the host every iteration and defeat JAX's async
+        # pipelining, while one step of slack costs at most one
+        # truncated step before the rebudget fires. ----
+        prev_slots, pending_slots = pending_slots, aux["num_slots"]
+        slots = int(prev_slots) if prev_slots is not None else 0
         if slots > raster_cfg.max_instances:
             from goi_tpu.raster.render import BUDGET_QUANTUM as _q
             new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
@@ -196,6 +202,18 @@ def train_rgb(
                   flush=True)
         if callback is not None:
             callback(it, state, aux)
+    # the slack check above never sees the LAST step's counter; fold it
+    # in so the returned raster_cfg is valid for final eval renders
+    if pending_slots is not None:
+        slots = int(pending_slots)
+        if slots > raster_cfg.max_instances:
+            from goi_tpu.raster.render import BUDGET_QUANTUM as _q
+            new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
+            print(f"[goi_tpu] final-step budget overflow ({slots} > "
+                  f"{raster_cfg.max_instances}); returning budget "
+                  f"{new_budget}")
+            raster_cfg = dataclasses.replace(
+                raster_cfg, max_instances=new_budget)
     if return_raster_cfg:
         return state, raster_cfg
     return state

@@ -73,14 +73,22 @@ def _stub_ref_packages():
     tl.DropPath, tl.to_2tuple, tl.trunc_normal_ = \
         DropPath, to_2tuple, trunc_normal_
 
-    # --- torchvision (nms only, never called here) ---
+    # --- torchvision (never called here; the stub must also satisfy
+    # the reference segment_anything import in test_sam_jax.py, which
+    # can land in the same process — keep it a superset of both) ---
     if "torchvision" not in sys.modules:
         tv = _mod("torchvision", "")
         ops = _mod("torchvision.ops", "")
         boxes = _mod("torchvision.ops.boxes")
-        boxes.nms = boxes.batched_nms = lambda *a, **k: None
+        boxes.nms = boxes.batched_nms = boxes.box_area = \
+            lambda *a, **k: None
         ops.boxes = boxes
         tv.ops = ops
+        tr = _mod("torchvision.transforms", "")
+        trf = _mod("torchvision.transforms.functional")
+        trf.resize = trf.to_pil_image = lambda *a, **k: None
+        tr.functional = trf
+        tv.transforms = tr
 
     # --- groundingdino package skeleton (skip heavy __init__s) ---
     root = f"{GD}/groundingdino"
@@ -450,3 +458,48 @@ def test_predict_and_res_provider():
     # threshold nothing passes -> None (ref returns empty)
     prov_hi = JaxRESProvider(dino, sam, box_threshold=1.1)
     assert prov_hi.predict_mask(img, "the red chair") is None
+
+
+def test_prep_text_truncation_keeps_sep():
+    """A caption longer than text_pad must be truncated WITH a
+    terminating [SEP], so the tail sub-sentence still receives a full
+    bertwarper attention block and nonzero position ids (a bare cut
+    leaves it diagonal-only at position 0 — silently ignored)."""
+    from goi_tpu.query.grounding import GroundingConfig, GroundingDINOJax
+
+    vocab = make_test_vocab(["the", "red", "chair", "sofa", "table"])
+    tok = BertTokenizer(vocab)
+    cfg = GroundingConfig(text_pad=8)
+    det = object.__new__(GroundingDINOJax)
+    det.tokenizer = tok
+    det.cfg = cfg
+
+    long_caption = "the red chair . the sofa . the red table"
+    ids_np, attn, pos, pad_mask, ids = det._prep_text(long_caption)
+    assert ids_np.shape == (1, cfg.text_pad)
+    assert len(ids) == cfg.text_pad
+    assert ids[-1] == tok.sep_id                    # forced terminator
+    assert ids[-2] == tok.vocab["."]                # block-filling dot
+    assert not pad_mask[0].any()                    # no pad rows
+    # every non-special token in the tail sub-sentence attends beyond
+    # itself: the bertwarper block exists (position ids restart at 0
+    # per sub-sentence by bertwarper convention, so attn is the signal)
+    specials = set(tok.special_ids()) | {tok.vocab["."]}
+    tail = [i for i in range(5, cfg.text_pad - 1)
+            if ids[i] not in specials]
+    assert tail, "test caption must leave tail tokens"
+    for i in tail:
+        assert attn[0, i].sum() > 1, (i, attn[0, i])
+
+
+def test_prep_text_short_caption_unchanged():
+    vocab = make_test_vocab(["the", "red", "chair"])
+    tok = BertTokenizer(vocab)
+    from goi_tpu.query.grounding import GroundingConfig, GroundingDINOJax
+    cfg = GroundingConfig(text_pad=16)
+    det = object.__new__(GroundingDINOJax)
+    det.tokenizer = tok
+    det.cfg = cfg
+    ids_np, attn, pos, pad_mask, ids = det._prep_text("the red chair")
+    assert ids == tok.encode("the red chair .")
+    assert pad_mask[0, len(ids):].all()

@@ -51,6 +51,27 @@ def _torch_sam():
         mods["torchvision"].ops = mods["torchvision.ops"]
         mods["torchvision.ops"].boxes = mods["torchvision.ops.boxes"]
         sys.modules.update(mods)
+    else:
+        # another test (test_grounding) may have stubbed torchvision
+        # first — patch in whatever segment_anything's import needs
+        import types
+        noop = lambda *a, **k: None
+        tf_name = "torchvision.transforms.functional"
+        if tf_name not in sys.modules:
+            tr = sys.modules.setdefault(
+                "torchvision.transforms",
+                types.ModuleType("torchvision.transforms"))
+            tr.__path__ = getattr(tr, "__path__", [])
+            trf = types.ModuleType(tf_name)
+            trf.resize = trf.to_pil_image = noop
+            sys.modules[tf_name] = trf
+            tr.functional = trf
+            sys.modules["torchvision"].transforms = tr
+        bx = sys.modules.get("torchvision.ops.boxes")
+        if bx is not None:
+            for a in ("batched_nms", "box_area"):
+                if not hasattr(bx, a):
+                    setattr(bx, a, noop)
     try:
         from segment_anything.modeling import (ImageEncoderViT,
                                                MaskDecoder, PromptEncoder,

@@ -38,8 +38,9 @@ def test_web_viewer_page_and_frame():
         assert img.shape == (48, 64, 3)
         assert calls == [(64, 48, "chair")]
 
-        err = urllib.request.urlopen(base + "/nope", timeout=30)
-    except urllib.error.HTTPError as e:
-        assert e.code == 404
+        import pytest
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(base + "/nope", timeout=30)
+        assert exc.value.code == 404
     finally:
         v.stop()
