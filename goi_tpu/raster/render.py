@@ -175,6 +175,10 @@ def render(
         # buffer slots demanded (incl. Pallas K-alignment padding);
         # > config.max_instances means instances were truncated
         "num_slots": binning.num_slots,
+        # deepest tile segment; > config.tile_cap means the XLA-backend
+        # blend truncated that tile (the Pallas backend has no per-tile
+        # cap — there it is informational only)
+        "max_tile_depth": jnp.max(binning.tile_end - binning.tile_start),
     }
     if config.debug:
         # kernel forensics (role of the reference's --debug CPU snapshot
@@ -305,4 +309,10 @@ def trace(
         "gaussian_semantics": gau_sem,
         # reference counts one hit per semantic channel (see docstring)
         "num_gsem": n_hits * S,
+        # deepest tile segment: > config.tile_cap means the walk above
+        # truncated that tile's deepest instances (the CUDA trace cannot
+        # overflow — it walks exact per-tile ranges); callers should
+        # re-run with a larger tile_cap when this trips
+        "max_tile_depth": jnp.max(binning.tile_end - binning.tile_start),
+        "num_slots": binning.num_slots,
     }

@@ -219,3 +219,31 @@ def test_inpaint_sds_masked_latents_normalize_first():
     # second encode call is the masked image: all-zero, NOT all -0.5
     np.testing.assert_allclose(np.asarray(captured[1]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(captured[0]), -0.5, atol=1e-6)
+
+
+def test_tile_depth_overflow_detectable():
+    """A tile deeper than tile_cap must be detectable via
+    max_tile_depth in both render() and trace() outputs (the XLA blend
+    and the trace walk truncate past the cap — VERDICT weak #4)."""
+    import jax.numpy as jnp
+
+    from goi_tpu.raster import RasterConfig, render, trace
+    from tests.conftest import make_random_scene, make_test_camera
+
+    # pile many Gaussians onto the same spot -> one very deep tile
+    scene = make_random_scene(n=300, seed=5, spread=0.01)
+    cam = make_test_camera(width=32, height=32)
+    cfg = RasterConfig(max_instances=1 << 13, tile_cap=16, chunk=8,
+                       backend="xla")
+    out = render(scene, cam, jnp.zeros(3), cfg)
+    depth = int(out["max_tile_depth"])
+    assert depth > cfg.tile_cap  # the scene overflows...
+
+    tr = trace(scene, cam, jnp.zeros((10, 32, 32)), jnp.zeros(3), cfg)
+    assert int(tr["max_tile_depth"]) == depth  # ...and trace agrees
+
+    # a roomy cap reports the same depth but no longer overflows
+    cfg_ok = RasterConfig(max_instances=1 << 13, tile_cap=512, chunk=8,
+                          backend="xla")
+    out_ok = render(scene, cam, jnp.zeros(3), cfg_ok)
+    assert int(out_ok["max_tile_depth"]) == depth <= 512
