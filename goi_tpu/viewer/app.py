@@ -66,6 +66,8 @@ _PAGE = """<!doctype html>
  <button onclick="mv(0,0.1,0)">+y</button>
  <button onclick="mv(0,-0.1,0)">-y</button>
  <button onclick="op('finetune',view())">OSH finetune</button>
+ <button onclick="op('edit_precompute')">edit-precompute</button>
+ <button onclick="op('edit_train',{epochs:5})">edit-train</button>
  <span id=stat></span></div>
 <img id=cv width=640 height=480>
 <script>
@@ -113,11 +115,18 @@ class QueryWebApp:
 
     def __init__(self, session, *, text_fn: Optional[Callable] = None,
                  res_fn: Optional[Callable] = None,
+                 edit=None, edit_cameras=None,
                  host: str = "0.0.0.0", port: int = 8091,
                  fovy_deg: float = 50.0):
+        """edit: optional app.edit.EditSession sharing the query scene;
+        edit_cameras: the dataset cameras its precompute selects from
+        (the reference edit GUI's camera set, ref:gui/main_edit.py:
+        312-395)."""
         self.session = session
         self.text_fn = text_fn
         self.res_fn = res_fn
+        self.edit = edit
+        self.edit_cameras = edit_cameras or []
         self.fovy_deg = fovy_deg
         self.prompt: Optional[str] = None
         self._lock = threading.Lock()
@@ -199,6 +208,9 @@ class QueryWebApp:
                               if s.rel_gs_index is not None else None),
                 "osh_finetuned": bool(s.res_finetuned),
                 "sim_thresh": float(s.sim_thresh),
+                "edit": (None if self.edit is None else
+                         {"relative_cameras":
+                          len(self.edit.relative_cameras)}),
             }
 
     # ---- operations (the GUI button handlers) ----
@@ -270,6 +282,31 @@ class QueryWebApp:
                 path = args.get("out", "query_path.mp4")
                 write_video([np.asarray(f) for f in frames], path)
                 return {"ok": True, "frames": len(frames), "path": path}
+            if op == "edit_precompute":
+                # select views seeing the current query target and
+                # build the frozen-Gaussian mask (ref:gui/main_edit.py
+                # :312-395); the edit session adopts the query scene
+                if self.edit is None:
+                    raise ValueError("no edit session configured")
+                self.edit.scene = s.scene
+                n = self.edit.precompute(
+                    self.edit_cameras, s.compute_similarity,
+                    min_relative_ratio=float(
+                        args.get("min_relative_ratio", 0.1)))
+                return {"ok": True, "relative_cameras": n}
+            if op == "edit_train":
+                if self.edit is None:
+                    raise ValueError("no edit session configured")
+                import jax as _jax
+                self.edit.train(
+                    key=_jax.random.PRNGKey(int(args.get("seed", 0))),
+                    epochs=int(args.get("epochs",
+                                        self.edit.max_epochs)),
+                    log_every=int(args.get("log_every", 5)))
+                # the query session renders the edited scene from now on
+                s.scene = self.edit.scene
+                return {"ok": True,
+                        "num_valid": int(np.asarray(s.scene.num_valid))}
         raise ValueError(f"unknown op {op!r}")
 
     def start(self) -> None:

@@ -147,3 +147,43 @@ def test_query_web_app_full_surface(tmp_path):
         assert exc.value.code == 404
     finally:
         app.stop()
+
+
+def test_query_web_app_edit_flow(tmp_path):
+    """SDS editing over HTTP: precompute relative cameras from the
+    current query, train a few epochs with the analytic backend, and
+    require that only target Gaussians changed (ref:gui/main_edit.py
+    edit loop driven through the web surface)."""
+    from goi_tpu.app.edit import EditSession
+    from goi_tpu.guidance.sds import InpaintSDS
+    from tests.test_app_edit import _ToyBackend
+    from tests.conftest import make_test_camera
+
+    sess, text = _session()
+    sds = InpaintSDS(_ToyBackend(target=0.9),
+                     pos_embedding=jnp.zeros((1, 8)),
+                     neg_embedding=jnp.zeros((1, 8)))
+    edit = EditSession(sess.scene, sds, sess.raster_cfg, batch_size=1,
+                       guidance_scale=1.0, lambda_sd=1.0)
+    cams = [make_test_camera(width=32, height=32, angle=a)
+            for a in (0.0, 0.4)]
+    app = QueryWebApp(sess, text_fn=lambda p: text[p], edit=edit,
+                      edit_cameras=cams, host="127.0.0.1", port=0)
+    app.start()
+    base = f"http://127.0.0.1:{app.port}"
+    try:
+        _post(base, {"op": "set_text", "prompt": "left thing"})
+        got = _post(base, {"op": "edit_precompute"})
+        assert got["ok"] and got["relative_cameras"] >= 1
+
+        before = np.asarray(sess.scene.features_dc).copy()
+        got = _post(base, {"op": "edit_train", "epochs": 2,
+                           "log_every": 100})
+        assert got["ok"]
+        after = np.asarray(sess.scene.features_dc)  # synced back
+        changed = np.abs(after - before).sum(axis=(1, 2)) > 1e-7
+        gm = np.asarray(edit.grad_mask) > 0
+        assert changed[gm].any()
+        assert not changed[~gm].any()
+    finally:
+        app.stop()
