@@ -46,11 +46,19 @@ def main(argv=None):
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     args = parser.parse_args(argv)
 
+    # get_combined_args semantics (ref:arguments/__init__.py:93-113):
+    # saved cfg_args override the dataclass defaults, explicit CLI
+    # values override the saved ones — so eval/white_background/sem_dim
+    # from training persist into rendering without re-specifying them
+    import dataclasses as _dc
     saved = load_saved_params(args.model_path, ModelParams)
-    mp = extract_params(args, ModelParams)
-    if not mp.source_path:
-        mp = type(mp)(**{**mp.__dict__,
-                         "source_path": saved.source_path})
+    cli = extract_params(args, ModelParams)
+    base = ModelParams()
+    mp = ModelParams(**{
+        f.name: (getattr(cli, f.name)
+                 if getattr(cli, f.name) != getattr(base, f.name)
+                 else getattr(saved, f.name))
+        for f in _dc.fields(ModelParams)})
 
     import jax.numpy as jnp
     from goi_tpu.utils.cache import enable_compile_cache

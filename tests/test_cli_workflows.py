@@ -1,0 +1,86 @@
+"""End-to-end CLI workflow: the reference's train -> render -> metrics
+-> eval_seg pipeline driven through the actual command-line entry
+points on a tiny synthetic COLMAP scene (ref:train.py, render.py:13-55,
+metrics.py:25-92, eval_seg.py:31-62)."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from tests.test_data_io import _make_colmap_scene
+
+
+def test_train_render_metrics_cli(tmp_path):
+    root = str(tmp_path / "scene")
+    model = str(tmp_path / "model")
+    _make_colmap_scene(root)
+
+    # distillation starts from a pre-trained 3DGS (the reference trains
+    # RGB first, then distills; train.py loads point_cloud/iteration_1)
+    from goi_tpu.configs.params import ModelParams
+    from goi_tpu.data.scene import Scene
+    pre = Scene(ModelParams(source_path=root, model_path=model,
+                            eval=True))
+    pre.save(1)
+
+    import train as train_cli
+    train_cli.main([
+        "-s", root, "-m", model, "--iterations", "12",
+        "--ape_dim", "8", "--tab_len", "8", "--eval",
+        "--test_iterations", "12", "--save_iterations", "12",
+        "--quiet",
+    ])
+    # the distillation artifacts the reference saves (PLY + decoder/LUT)
+    pc = os.path.join(model, "point_cloud", "iteration_12")
+    assert os.path.exists(os.path.join(pc, "point_cloud.ply"))
+    assert os.path.exists(os.path.join(model, "cfg_args.json"))
+
+    import render as render_cli
+    render_cli.main(["-m", model, "--iteration", "12",
+                     "--max_instances", str(1 << 14)])
+    test_renders = os.path.join(model, "test", "ours_12", "renders")
+    test_gt = os.path.join(model, "test", "ours_12", "gt")
+    assert sorted(os.listdir(test_renders)) == ["00000.png"]
+    assert sorted(os.listdir(test_gt)) == ["00000.png"]
+    train_renders = os.path.join(model, "train", "ours_12", "renders")
+    assert len(os.listdir(train_renders)) == 3
+
+    import metrics as metrics_cli
+    metrics_cli.evaluate([model])
+    with open(os.path.join(model, "results.json")) as f:
+        res = json.load(f)
+    (method, vals), = res.items()
+    assert method == "ours_12"
+    assert np.isfinite(vals["PSNR"]) and 0.0 <= vals["SSIM"] <= 1.0
+    with open(os.path.join(model, "per_view.json")) as f:
+        pv = json.load(f)
+    assert list(pv["ours_12"]["PSNR"]) == ["00000.png"]
+
+
+def test_eval_seg_cli(tmp_path, capsys):
+    """eval_seg m360 protocol: per-prompt mask dirs vs predicted masks
+    (half-overlapping boxes -> known IoU)."""
+    eval_root = tmp_path / "gt"
+    saving_root = tmp_path / "pred"
+    scene = "room"
+    for prompt in ("chair", "table"):
+        mdir = eval_root / scene / prompt / "masks"
+        pdir = saving_root / scene / prompt
+        mdir.mkdir(parents=True)
+        pdir.mkdir(parents=True)
+        for view in ("v0", "v1"):
+            gt = np.zeros((32, 32), np.uint8)
+            gt[:, :16] = 255
+            pred = np.zeros((32, 32), np.uint8)
+            pred[:, 8:24] = 255           # IoU 1/3 vs the gt box
+            Image.fromarray(gt).save(mdir / f"{view}.png")
+            Image.fromarray(pred).save(pdir / f"{view}.png")
+
+    import eval_seg as eval_cli
+    res = eval_cli.main(["-e", str(eval_root), "-s", str(saving_root),
+                         "--scene_list", scene, "-d", "m360"])
+    (iou, mpa, mp), = res
+    assert abs(iou - 1 / 3) < 1e-6
+    assert 0.0 < mp <= 1.0 and 0.0 < mpa <= 1.0
