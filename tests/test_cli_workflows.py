@@ -84,3 +84,84 @@ def test_eval_seg_cli(tmp_path, capsys):
     (iou, mpa, mp), = res
     assert abs(iou - 1 / 3) < 1e-6
     assert 0.0 < mp <= 1.0 and 0.0 < mpa <= 1.0
+
+
+def _fake_model_dir(path, seed, psnr_offset=0.0):
+    """A model dir with pre-rendered test/ours_1/renders+gt pairs."""
+    rdir = os.path.join(path, "test", "ours_1", "renders")
+    gdir = os.path.join(path, "test", "ours_1", "gt")
+    os.makedirs(rdir)
+    os.makedirs(gdir)
+    rng = np.random.default_rng(seed)
+    for i in range(2):
+        g = rng.uniform(0, 1, (16, 16, 3))
+        r = np.clip(g + rng.normal(0, 0.05 + psnr_offset, g.shape),
+                    0, 1)
+        Image.fromarray((g * 255).astype(np.uint8)).save(
+            os.path.join(gdir, f"{i:05d}.png"))
+        Image.fromarray((r * 255).astype(np.uint8)).save(
+            os.path.join(rdir, f"{i:05d}.png"))
+
+
+def test_eval_sweep_single_process(tmp_path):
+    m1, m2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    _fake_model_dir(m1, 1)
+    _fake_model_dir(m2, 2, psnr_offset=0.1)
+    out = str(tmp_path / "sweep.json")
+
+    import eval_sweep
+    sweep = eval_sweep.main(["-m", m1, m2, "--skip_render",
+                             "--out", out])
+    assert set(sweep["scenes"]) == {m1, m2}
+    assert sweep["scenes"][m1]["PSNR"] > sweep["scenes"][m2]["PSNR"]
+    expect = np.mean([sweep["scenes"][m]["PSNR"] for m in (m1, m2)])
+    assert abs(sweep["mean"]["PSNR"] - expect) < 1e-9
+    with open(out) as f:
+        assert json.load(f)["mean"] == sweep["mean"]
+
+
+def test_eval_sweep_two_process(tmp_path):
+    """BASELINE config 5: the sweep divides scenes across a 2-process
+    jax.distributed job and process 0 aggregates."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    m1, m2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    _fake_model_dir(m1, 1)
+    _fake_model_dir(m2, 2)
+    out = str(tmp_path / "sweep.json")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, PYTHONPATH=repo,
+                   GOI_COORD=f"127.0.0.1:{port}",
+                   GOI_NUM_PROCS="2", GOI_PROC_ID=str(pid),
+                   JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [_sys.executable,
+             os.path.join(repo, "tests", "eval_sweep_worker.py"),
+             out, m1, m2],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    logs = []
+    for p in procs:
+        o, e = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{o}\n{e}"
+        assert "WORKER_DONE" in o
+        logs.append(o)
+    # each process took one scene
+    assert f"scenes: ['{m1}']" in logs[0]
+    assert f"scenes: ['{m2}']" in logs[1]
+    with open(out) as f:
+        sweep = json.load(f)
+    assert set(sweep["scenes"]) == {m1, m2}
+    assert "PSNR" in sweep["mean"]
