@@ -71,6 +71,8 @@ def _fwd_fps(scene, cam, iters=30):
 
 def main():
     detail = "--detail" in sys.argv
+    reduce_mode = ("sorted" if "--reduce-sorted" in sys.argv
+                   else "scatter")
     from goi_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -104,7 +106,8 @@ def main():
     # (ref:rasterizer_impl.cu:155-230); 1.5x headroom is a training-loop
     # concern, not a per-frame rasterization cost.
     budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
-    cfg = RasterConfig(max_instances=budget, backend="pallas")
+    cfg = RasterConfig(max_instances=budget, backend="pallas",
+                       reduce=reduce_mode)
 
     tgt_c = jnp.zeros((3, height, width))
     tgt_s = jnp.zeros((10, height, width))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,14 @@ class Binning:
     num_slots: jax.Array    # () int32 buffer slots DEMANDED incl. alignment
     #                         padding; num_slots > max_instances <=> some
     #                         instances were truncated (overflow detector)
+    # --- optional (bin_splats(export_perm=True), align > 0 only):
+    # the expansion-stream view of the sort, for sorted-key gradient
+    # reductions. stream_pos[i] = aligned buffer slot of expansion
+    # instance i (2^30 sentinel when dropped); stream_gid[i] = its
+    # Gaussian id — MONOTONE non-decreasing (gaussian-index-major
+    # expansion), which is what makes a sorted segment-sum applicable.
+    stream_pos: Optional[jax.Array] = None   # (max_instances,) int32
+    stream_gid: Optional[jax.Array] = None   # (max_instances,) int32
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y"))
@@ -68,9 +77,10 @@ def tile_counts(sp: Splats, *, grid_x: int, grid_y: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
-                                   "align"))
+                                   "align", "export_perm"))
 def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
-               max_instances: int, align: int = 0) -> Binning:
+               max_instances: int, align: int = 0,
+               export_perm: bool = False) -> Binning:
     """align > 0 pads every tile's segment start to a multiple of
     `align` slots (sentinel-filled gaps) so fixed-size chunk walks in the
     Pallas kernels never cross a tile boundary. The instance buffer must
@@ -132,8 +142,15 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     # Stability makes equal (tile, depth) pairs fall back to the
     # expansion stream's Gaussian-index order, exactly like the
     # reference's stable radix over its duplicateWithKeys stream.
-    tile_sorted, _, gid = jax.lax.sort(
-        (tile, inst_info[:, 2], g_stream), num_keys=2, is_stable=True)
+    if export_perm:
+        assert align, "export_perm requires the aligned (pallas) layout"
+        tile_sorted, _, gid, stream_sorted = jax.lax.sort(
+            (tile, inst_info[:, 2], g_stream, slots), num_keys=2,
+            is_stable=True)
+    else:
+        tile_sorted, _, gid = jax.lax.sort(
+            (tile, inst_info[:, 2], g_stream), num_keys=2,
+            is_stable=True)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tids,
@@ -175,9 +192,19 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         cap = jnp.int32(n_inst)
         a_start = jnp.minimum(a_start, cap)
         a_end = jnp.minimum(a_end, cap)
+        spos = sgid = None
+        if export_perm:
+            # invert the sort: expansion-stream index -> aligned slot
+            # (2^30 sentinel for instances the clamp dropped and the
+            # padding tail — both stay un-set via mode='drop')
+            spos = jnp.full(n_inst, 2 ** 30, jnp.int32).at[
+                jnp.where(ok & (pos < n_inst), stream_sorted, n_inst)
+            ].set(pos, mode="drop")
+            sgid = g_stream
         return Binning(point_list=gid_aligned, tile_start=a_start,
                        tile_end=a_end, num_instances=total,
-                       num_slots=seg_cum[-1])
+                       num_slots=seg_cum[-1], stream_pos=spos,
+                       stream_gid=sgid)
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=total, num_slots=total)

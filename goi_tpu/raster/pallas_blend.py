@@ -126,6 +126,33 @@ def _reduce_instance_grads(g, gid, n_gauss, s_dim):
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
 
+def _reduce_instance_grads_sorted(g, perm, n_gauss, s_dim):
+    """Sorted-key alternative to _reduce_instance_grads: gather the
+    row-major instance grads into EXPANSION-stream order (stream_pos,
+    one random (M, d) row gather) where the Gaussian ids are monotone
+    (gaussian-index-major expansion), then one segment-sum with
+    indices_are_sorted=True — a sequential segmented reduce instead of
+    a random scatter-add. Selected by RasterConfig(reduce='sorted');
+    which side wins is a measured, hardware-level tradeoff (random
+    GATHER + sorted reduce vs random SCATTER-ADD).
+
+    Dropped instances (budget overflow) and the padding tail carry the
+    2^30 stream_pos sentinel: their rows are zeroed but their KEYS stay
+    the true (monotone) Gaussian ids, so the sorted hint is never
+    violated — summing zeros is harmless."""
+    stream_pos, stream_gid = perm
+    d = 7 + 3 + s_dim
+    n_rows = g.shape[0]                       # n_inst + K
+    ok = stream_pos < (n_rows - K)
+    idx = jnp.where(ok, stream_pos, 0)
+    rows = g.at[idx].get(mode="promise_in_bounds")[:, :d]
+    rows = jnp.where(ok[:, None], rows, 0.0)
+    acc = jax.ops.segment_sum(rows, stream_gid, num_segments=n_gauss,
+                              indices_are_sorted=True)
+    return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
+
+
 def pack_features(sp: Splats, binning: Binning) -> jax.Array:
     return _pack_impl(sp.mean2d, sp.conic, sp.opacity, sp.color,
                       sp.semantics, sp.depth, binning.point_list)
@@ -439,7 +466,7 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _blend_core(grid_x, grid_y, n_out, mean2d, conic, opacity, color,
-                semantics, depth, gid, starts, ends):
+                semantics, depth, gid, starts, ends, perm):
     """pack + tiled blend under ONE custom VJP. Merging them (rather
     than giving pack its own VJP) frees the backward to hand
     _reduce_instance_grads ROW-major instance grads even though the
@@ -449,12 +476,12 @@ def _blend_core(grid_x, grid_y, n_out, mean2d, conic, opacity, color,
     reduction would start with a ~3 ms instance-scale transpose."""
     out, _ = _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic,
                              opacity, color, semantics, depth, gid,
-                             starts, ends)
+                             starts, ends, perm)
     return out
 
 
 def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
-                    color, semantics, depth, gid, starts, ends):
+                    color, semantics, depth, gid, starts, ends, perm):
     feat = _pack_impl(mean2d, conic, opacity, color, semantics, depth,
                       gid)
     num_tiles = grid_x * grid_y
@@ -478,12 +505,12 @@ def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, ends, feat)
-    return out, (feat, starts, ends, out, gid,
+    return out, (feat, starts, ends, out, gid, perm,
                  mean2d.shape[0], semantics.shape[-1])
 
 
 def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
-    feat, starts, ends, out, gid, n_gauss, s_dim = res
+    feat, starts, ends, out, gid, perm, n_gauss, s_dim = res
     num_tiles = grid_x * grid_y
     outc = n_out + 2
     n_inst = feat.shape[1]
@@ -519,12 +546,16 @@ def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
     )(starts, ends, feat, out, g,
       jnp.zeros((n_inst, DOUT), jnp.float32))
     # rows never covered by a tile segment hold uninitialized memory;
-    # the reduction masks them out via their sentinel gids (gid < 0),
-    # so no instance-scale rowmask pass is needed (~0.9 ms saved)
-    dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
-        _reduce_instance_grads(dfeat, gid, n_gauss, s_dim)
+    # both reductions mask them out (sentinel gids / sentinel
+    # stream_pos), so no instance-scale rowmask pass is needed
+    if perm:
+        dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+            _reduce_instance_grads_sorted(dfeat, perm, n_gauss, s_dim)
+    else:
+        dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+            _reduce_instance_grads(dfeat, gid, n_gauss, s_dim)
     return (dmean2d, dconic, dopa, dcolor, dsem, ddepth,
-            None, None, None)
+            None, None, None, jax.tree.map(lambda _: None, perm))
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -543,10 +574,12 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
             f"{DOUT} (the pallas backward's row-major grad tile); use "
             f"RasterConfig(backend='xla') for sem_dim > {DOUT - 10}")
     n_out = 3 + s + 1
+    perm = (() if binning.stream_pos is None
+            else (binning.stream_pos, binning.stream_gid))
     raw = _blend_core(grid_x, grid_y, n_out, sp.mean2d, sp.conic,
                       sp.opacity, sp.color, sp.semantics, sp.depth,
                       binning.point_list,
-                      binning.tile_start, binning.tile_end)
+                      binning.tile_start, binning.tile_end, perm)
     t_final = raw[:, :, n_out]
     color = raw[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
     sem = raw[:, :, 3:3 + s]

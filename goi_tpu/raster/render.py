@@ -53,6 +53,12 @@ class RasterConfig:
     chunk: int = 64
     backend: str = "xla"
     debug: bool = False
+    # instance->Gaussian gradient reduction strategy (pallas backend):
+    # 'scatter' = one segment-sum scatter-add keyed by tile-sorted gids;
+    # 'sorted' = gather grads to expansion-stream order (binning exports
+    # the sort permutation) + sorted-key segment-sum. Same math, both
+    # deterministic; which is faster is a hardware-measured tradeoff.
+    reduce: str = "scatter"
 
 
 def _grid(cam: Camera):
@@ -150,7 +156,9 @@ def render(
     binning = bin_splats(
         jax.tree.map(jax.lax.stop_gradient, sp),
         grid_x=grid_x, grid_y=grid_y,
-        max_instances=config.max_instances, align=align)
+        max_instances=config.max_instances, align=align,
+        export_perm=(config.backend == "pallas"
+                     and config.reduce == "sorted"))
 
     if config.backend == "pallas":
         from goi_tpu.raster.pallas_blend import blend_tiles_pallas

@@ -60,3 +60,70 @@ def test_pallas_gradients_match_oracle():
     for name, a, b in zip(names, g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_sorted_reduce_matches_scatter_reduce():
+    """RasterConfig(reduce='sorted') must produce the same gradients as
+    the default scatter reduction — same sums, different hardware path
+    (gather + sorted segment-sum vs random scatter-add)."""
+    import jax
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=400, seed=21)
+    cam = make_test_camera(width=64, height=48)
+    bg = jnp.zeros(3)
+
+    def grads(reduce):
+        cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
+                           reduce=reduce)
+
+        def loss(params):
+            out = render(scene.with_params(params), cam, bg, cfg)
+            return (jnp.sum(out["render"] ** 2)
+                    + jnp.sum(out["semantics"] ** 2)
+                    + jnp.sum(out["depth"]) + jnp.sum(out["alpha"]))
+
+        return jax.grad(loss)(scene.params())
+
+    ga = grads("scatter")
+    gb = grads("sorted")
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # and both are finite
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(gb))
+
+
+def test_sorted_reduce_overflow_masks_dropped_instances():
+    """With a too-small budget (clamp drops instances mid-stream) the
+    sorted reduce must still mask dropped rows and keep keys sorted:
+    grads must match the scatter reduce exactly on the same truncated
+    binning."""
+    import jax
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=300, seed=22, spread=0.3)
+    cam = make_test_camera(width=48, height=32)
+    bg = jnp.zeros(3)
+
+    def grads(reduce):
+        # deliberately small: forces aligned-overflow truncation
+        cfg = RasterConfig(max_instances=1 << 10, backend="pallas",
+                           reduce=reduce)
+
+        def loss(params):
+            out = render(scene.with_params(params), cam, bg, cfg)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["alpha"])
+
+        return jax.grad(loss)(scene.params())
+
+    ga = grads("scatter")
+    gb = grads("sorted")
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
