@@ -12,7 +12,7 @@ from PIL import Image
 from tests.test_data_io import _make_colmap_scene
 
 
-def test_train_render_metrics_cli(tmp_path):
+def test_train_render_metrics_cli(tmp_path, capsys):
     root = str(tmp_path / "scene")
     model = str(tmp_path / "model")
     _make_colmap_scene(root)
@@ -32,6 +32,8 @@ def test_train_render_metrics_cli(tmp_path):
         "--test_iterations", "12", "--save_iterations", "12",
         "--quiet",
     ])
+    # the validation report fired at the test iteration
+    assert "Evaluating test: PSNR" in capsys.readouterr().out
     # the distillation artifacts the reference saves (PLY + decoder/LUT)
     pc = os.path.join(model, "point_cloud", "iteration_12")
     assert os.path.exists(os.path.join(pc, "point_cloud.ply"))

@@ -73,7 +73,34 @@ def main(argv=None):
         print(f"instance budget: {budget}")
     raster_cfg = RasterConfig(max_instances=budget, backend="pallas")
 
+    def validation_report(it, state):
+        """PSNR over the eval split at test iterations
+        (ref:train.py:228-268 training_report)."""
+        from goi_tpu.eval.metrics import psnr
+        from goi_tpu.raster import render as _render
+
+        bg = jnp.ones(3) if mp.white_background else jnp.zeros(3)
+        for split, cs, infos in (
+                ("test", scene.test_cameras, scene.info.test_cameras),
+                ("train", scene.train_cameras[:5],
+                 scene.info.train_cameras[:5])):
+            if not cs:
+                continue
+            from goi_tpu.data.dataset import load_image
+            vals = []
+            for cam, info in zip(cs, infos):
+                out = _render(state.scene, cam, bg, raster_cfg)
+                gt = jnp.asarray(load_image(info, mp.resolution))
+                vals.append(float(psnr(
+                    jnp.clip(out["render"], 0, 1), gt)))
+            print(f"\n[ITER {it}] Evaluating {split}: PSNR "
+                  f"{float(np.mean(vals)):.4f}")
+
+    import numpy as np
+
     def checkpoint_cb(it, state, aux):
+        if it in set(args.test_iterations):
+            validation_report(it, state)
         if it in set(args.save_iterations) | {op.iterations}:
             scene.gaussians = state.scene
             out = scene.save(it, decoder=state.decoder, lut=state.lut)
