@@ -43,6 +43,58 @@ def _tile_pixel_coords(grid_x: int, grid_y: int):
     return xs.astype(jnp.float32), ys.astype(jnp.float32)
 
 
+def tile_slices(binning: Binning, tile_cap: int, chunk: int):
+    """Per-tile padded instance slices, chunked time-major for a scan:
+    returns (gid_t, msk_t), each (n_chunks, T, chunk). Pads the column
+    axis when tile_cap is not a chunk multiple (the padding columns are
+    masked, never blended)."""
+    k = jnp.arange(tile_cap, dtype=jnp.int32)
+    idx = binning.tile_start[:, None] + k[None, :]               # (T, K)
+    in_slice = idx < binning.tile_end[:, None]
+    idx = jnp.minimum(idx, binning.point_list.shape[0] - 1)
+    gid = binning.point_list[idx]                                 # (T, K)
+    num_tiles = gid.shape[0]
+    n_chunks = (tile_cap + chunk - 1) // chunk
+    pad = n_chunks * chunk - tile_cap
+    if pad:
+        gid = jnp.pad(gid, ((0, 0), (0, pad)))
+        in_slice = jnp.pad(in_slice, ((0, 0), (0, pad)))
+    gid_t = jnp.moveaxis(
+        gid.reshape(num_tiles, n_chunks, chunk), 1, 0)
+    msk_t = jnp.moveaxis(
+        in_slice.reshape(num_tiles, n_chunks, chunk), 1, 0)
+    return gid_t, msk_t
+
+
+def chunk_weights(sp: Splats, g, m, xs, ys, t_all, pix_ok=None):
+    """Shared per-chunk blend math — power/alpha/skip thresholds and
+    the two-transmittance bookkeeping (ref:cuda_rasterizer/forward.cu:
+    331-371) — used by both the XLA blend scan and the trace walk so
+    the termination rules can never diverge between them.
+
+    g/m: (T, chunk) gathered Gaussian ids + slice mask; xs/ys: (T, P)
+    pixel centers; t_all: (T, P) all-valid transmittance carry;
+    pix_ok: optional (T, P) pixel validity (tile padding)."""
+    xy = sp.mean2d[g]                   # (T, chunk, 2)
+    con = sp.conic[g]
+    opa = sp.opacity[g]
+    dx = xy[:, None, :, 0] - xs[:, :, None]      # (T, P, chunk)
+    dy = xy[:, None, :, 1] - ys[:, :, None]
+    power = (-0.5 * (con[:, None, :, 0] * dx * dx
+                     + con[:, None, :, 2] * dy * dy)
+             - con[:, None, :, 1] * dx * dy)
+    alpha = jnp.minimum(ALPHA_CLAMP, opa[:, None, :] * jnp.exp(power))
+    valid = m[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    if pix_ok is not None:
+        valid = valid & pix_ok[:, :, None]
+    q = jnp.where(valid, 1.0 - alpha, 1.0)
+    p_incl = t_all[:, :, None] * jnp.cumprod(q, axis=-1)
+    active = valid & (p_incl >= T_EPS)
+    w = jnp.where(active, alpha * p_incl / q, 0.0)  # alpha * T_prev
+    return dict(alpha=alpha, valid=valid, q=q, p_incl=p_incl,
+                active=active, w=w)
+
+
 @partial(jax.jit,
          static_argnames=("grid_x", "grid_y", "tile_cap", "chunk"))
 def blend_tiles(
@@ -61,23 +113,8 @@ def blend_tiles(
     num_tiles = grid_x * grid_y
     S = sp.semantics.shape[-1]
 
-    # Per-tile padded instance index grid -> Gaussian ids. Clipped gather
-    # indices are masked out below.
-    k = jnp.arange(tile_cap, dtype=jnp.int32)
-    idx = binning.tile_start[:, None] + k[None, :]                # (T, K)
-    in_slice = idx < binning.tile_end[:, None]
-    idx = jnp.minimum(idx, binning.point_list.shape[0] - 1)
-    gid = binning.point_list[idx]                                  # (T, K)
-
     xs, ys = _tile_pixel_coords(grid_x, grid_y)                    # (T, 256)
-
-    n_chunks = (tile_cap + chunk - 1) // chunk
-    gid_c = gid[:, : n_chunks * chunk].reshape(num_tiles, n_chunks, chunk)
-    msk_c = in_slice[:, : n_chunks * chunk].reshape(
-        num_tiles, n_chunks, chunk)
-    # scan over chunks (time-major)
-    gid_t = jnp.moveaxis(gid_c, 1, 0)      # (n_chunks, T, chunk)
-    msk_t = jnp.moveaxis(msk_c, 1, 0)
+    gid_t, msk_t = tile_slices(binning, tile_cap, chunk)
 
     # Rematerialize each chunk in the backward pass instead of saving
     # per-chunk alphas/weights (the CUDA backward makes the same trade:
@@ -96,26 +133,13 @@ def blend_tiles(
     def step(carry, inp):
         t_all, t_cur, acc_c, acc_s, acc_d = carry
         g, m = inp                          # (T, chunk)
-        xy = sp.mean2d[g]                   # (T, chunk, 2)
-        con = sp.conic[g]
-        opa = sp.opacity[g]
         col = sp.color[g]
         sem = sp.semantics[g]
         dep = sp.depth[g]
 
-        dx = xy[:, None, :, 0] - xs[:, :, None]      # (T, 256, chunk)
-        dy = xy[:, None, :, 1] - ys[:, :, None]
-        a = con[:, None, :, 0]
-        b = con[:, None, :, 1]
-        c = con[:, None, :, 2]
-        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-        alpha = jnp.minimum(ALPHA_CLAMP, opa[:, None, :] * jnp.exp(power))
-
-        valid = m[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
-        q = jnp.where(valid, 1.0 - alpha, 1.0)
-        p_incl = t_all[:, :, None] * jnp.cumprod(q, axis=-1)
-        active = valid & (p_incl >= T_EPS)
-        w = jnp.where(active, alpha * p_incl / q, 0.0)  # alpha * T_prev
+        ck = chunk_weights(sp, g, m, xs, ys, t_all)
+        w, q, active, p_incl = (ck["w"], ck["q"], ck["active"],
+                                ck["p_incl"])
 
         acc_c = acc_c + jnp.einsum("tpk,tkc->tpc", w, col)
         acc_s = acc_s + jnp.einsum("tpk,tks->tps", w, sem)

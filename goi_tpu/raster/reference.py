@@ -38,7 +38,8 @@ ALPHA_CLAMP = 0.99
 def blend_weights(alpha: jax.Array, contrib: jax.Array):
     """Given per-step alphas (..., K) in traversal order and a contribution
     mask, return (weights (...,K), T_final (...,)) implementing the exact
-    sequential semantics above. Shared by the oracle and the tiled path."""
+    sequential semantics above. Used by the oracle; the tiled path's
+    chunk-level equivalent lives in blend.py chunk_weights."""
     valid = contrib & (alpha >= ALPHA_MIN)
     q = jnp.where(valid, 1.0 - alpha, 1.0)
     p_incl = jnp.cumprod(q, axis=-1)
@@ -56,14 +57,24 @@ def render_reference(
     *,
     scaling_modifier: float = 1.0,
     override_color=None,
+    semantic_masks=None,
+    mean2d_offset=None,
     row_chunk: int = 16,
 ):
     """Returns dict(render (3,H,W), semantics (S,H,W), depth (1,H,W),
     alpha (1,H,W), radii (N,)) matching the reference render() output
-    contract (ref:gaussian_renderer/__init__.py:99-105)."""
+    contract (ref:gaussian_renderer/__init__.py:99-105).
+
+    semantic_masks / mean2d_offset match render()'s semantics so the
+    oracle backend never silently diverges from xla/pallas."""
+    import dataclasses as _dc
+
     H, W = cam.height, cam.width
     sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
-                    override_color=override_color)
+                    override_color=override_color,
+                    semantic_masks=semantic_masks)
+    if mean2d_offset is not None:
+        sp = _dc.replace(sp, mean2d=sp.mean2d + mean2d_offset)
 
     order = jnp.argsort(jnp.where(sp.valid, sp.depth, jnp.inf),
                         stable=True)

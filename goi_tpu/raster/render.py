@@ -65,6 +65,58 @@ def _grid(cam: Camera):
     return (cam.width + TILE - 1) // TILE, (cam.height + TILE - 1) // TILE
 
 
+def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
+    """bin_splats with the backend's layout (K-aligned segments + the
+    optional sort-permutation export for the pallas path)."""
+    align = 0
+    if config.backend == "pallas":
+        from goi_tpu.raster.pallas_blend import K as PALLAS_K
+        align = PALLAS_K
+    return bin_splats(
+        jax.tree.map(jax.lax.stop_gradient, sp),
+        grid_x=grid_x, grid_y=grid_y,
+        max_instances=config.max_instances, align=align,
+        export_perm=(config.backend == "pallas"
+                     and config.reduce == "sorted"))
+
+
+def _blend_stage(sp, binning, cam: Camera, bg_color,
+                 config: RasterConfig, grid_x: int, grid_y: int):
+    """Blend pre-binned splats and assemble the render() output dict —
+    shared by render() and trace() so trace never pays a second
+    preprocess + binning for its embedded color render."""
+    if config.backend == "pallas":
+        from goi_tpu.raster.pallas_blend import blend_tiles_pallas
+        color_t, sem_t, depth_t, alpha_t = blend_tiles_pallas(
+            sp, binning, jnp.asarray(bg_color, jnp.float32),
+            grid_x=grid_x, grid_y=grid_y)
+    else:
+        color_t, sem_t, depth_t, alpha_t = blend_tiles(
+            sp, binning, jnp.asarray(bg_color, jnp.float32),
+            grid_x=grid_x, grid_y=grid_y,
+            tile_cap=config.tile_cap, chunk=config.chunk)
+
+    h, w = cam.height, cam.width
+    return {
+        "render": tiles_to_image(color_t, grid_x, grid_y, h, w),
+        "semantics": tiles_to_image(sem_t, grid_x, grid_y, h, w),
+        "depth": tiles_to_image(depth_t[..., None], grid_x, grid_y,
+                                h, w),
+        "alpha": tiles_to_image(alpha_t[..., None], grid_x, grid_y,
+                                h, w),
+        "radii": sp.radius,
+        "visibility_filter": sp.radius > 0,
+        "num_instances": binning.num_instances,
+        # buffer slots demanded (incl. Pallas K-alignment padding);
+        # > config.max_instances means instances were truncated
+        "num_slots": binning.num_slots,
+        # deepest tile segment; > config.tile_cap means the XLA-backend
+        # blend truncated that tile (the Pallas backend has no per-tile
+        # cap — there it is informational only)
+        "max_tile_depth": jnp.max(binning.tile_end - binning.tile_start),
+    }
+
+
 BUDGET_QUANTUM = 4096  # multiple of pallas_blend.K; keeps re-jit churn low
 
 
@@ -140,7 +192,13 @@ def render(
         from goi_tpu.raster.reference import render_reference
         return render_reference(scene, cam, bg_color,
                                 scaling_modifier=scaling_modifier,
-                                override_color=override_color)
+                                override_color=override_color,
+                                semantic_masks=semantic_masks,
+                                mean2d_offset=mean2d_offset)
+    if config.backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {config.backend!r}")
+    if config.reduce not in ("scatter", "sorted"):
+        raise ValueError(f"unknown reduce {config.reduce!r}")
 
     grid_x, grid_y = _grid(cam)
     sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
@@ -148,46 +206,9 @@ def render(
                     semantic_masks=semantic_masks)
     if mean2d_offset is not None:
         sp = dataclasses.replace(sp, mean2d=sp.mean2d + mean2d_offset)
-
-    align = 0
-    if config.backend == "pallas":
-        from goi_tpu.raster.pallas_blend import K as PALLAS_K
-        align = PALLAS_K
-    binning = bin_splats(
-        jax.tree.map(jax.lax.stop_gradient, sp),
-        grid_x=grid_x, grid_y=grid_y,
-        max_instances=config.max_instances, align=align,
-        export_perm=(config.backend == "pallas"
-                     and config.reduce == "sorted"))
-
-    if config.backend == "pallas":
-        from goi_tpu.raster.pallas_blend import blend_tiles_pallas
-        color_t, sem_t, depth_t, alpha_t = blend_tiles_pallas(
-            sp, binning, jnp.asarray(bg_color, jnp.float32),
-            grid_x=grid_x, grid_y=grid_y)
-    else:
-        color_t, sem_t, depth_t, alpha_t = blend_tiles(
-            sp, binning, jnp.asarray(bg_color, jnp.float32),
-            grid_x=grid_x, grid_y=grid_y,
-            tile_cap=config.tile_cap, chunk=config.chunk)
-
-    h, w = cam.height, cam.width
-    out = {
-        "render": tiles_to_image(color_t, grid_x, grid_y, h, w),
-        "semantics": tiles_to_image(sem_t, grid_x, grid_y, h, w),
-        "depth": tiles_to_image(depth_t[..., None], grid_x, grid_y, h, w),
-        "alpha": tiles_to_image(alpha_t[..., None], grid_x, grid_y, h, w),
-        "radii": sp.radius,
-        "visibility_filter": sp.radius > 0,
-        "num_instances": binning.num_instances,
-        # buffer slots demanded (incl. Pallas K-alignment padding);
-        # > config.max_instances means instances were truncated
-        "num_slots": binning.num_slots,
-        # deepest tile segment; > config.tile_cap means the XLA-backend
-        # blend truncated that tile (the Pallas backend has no per-tile
-        # cap — there it is informational only)
-        "max_tile_depth": jnp.max(binning.tile_end - binning.tile_start),
-    }
+    binning = _bin_for_backend(sp, config, grid_x, grid_y)
+    out = _blend_stage(sp, binning, cam, bg_color, config,
+                       grid_x, grid_y)
     if config.debug:
         # kernel forensics (role of the reference's --debug CPU snapshot
         # dumps, ref:diff_gaussian_rasterization/__init__.py:112-119):
@@ -239,14 +260,19 @@ def trace(
     (num_gsem ends up hits*S, ref:forward.cu:521-526); we reproduce that
     so downstream normalization matches bit-for-bit.
     """
+    if config.backend == "reference":
+        # the trace walk is its own implementation; use the XLA blend
+        # for the embedded color render
+        config = dataclasses.replace(config, backend="xla")
     grid_x, grid_y = _grid(cam)
     num_tiles = grid_x * grid_y
     S = img_sem.shape[0]
     P = scene.xyz.shape[0]
     sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
                     override_color=override_color)
-    binning = bin_splats(sp, grid_x=grid_x, grid_y=grid_y,
-                         max_instances=config.max_instances)
+    # ONE preprocess + binning serves both the trace walk and the
+    # embedded color render below
+    binning = _bin_for_backend(sp, config, grid_x, grid_y)
 
     sem_tiles = image_to_tiles(img_sem, grid_x, grid_y)  # (T, 256, S)
     # Pixel validity (tile padding outside the image must not contribute).
@@ -256,43 +282,18 @@ def trace(
         jnp.tile(jnp.arange(TILE), TILE)[None, :]
     pix_ok = (xs < cam.width) & (ys < cam.height)        # (T, 256)
 
-    from goi_tpu.raster.blend import _tile_pixel_coords
+    from goi_tpu.raster.blend import (_tile_pixel_coords, chunk_weights,
+                                      tile_slices)
     fx, fy = _tile_pixel_coords(grid_x, grid_y)
-
-    k = jnp.arange(config.tile_cap, dtype=jnp.int32)
-    idx = binning.tile_start[:, None] + k[None, :]
-    in_slice = idx < binning.tile_end[:, None]
-    idx = jnp.minimum(idx, binning.point_list.shape[0] - 1)
-    gid = binning.point_list[idx]
-
-    chunk = config.chunk
-    n_chunks = (config.tile_cap + chunk - 1) // chunk
-    gid_t = jnp.moveaxis(
-        gid[:, : n_chunks * chunk].reshape(num_tiles, n_chunks, chunk), 1, 0)
-    msk_t = jnp.moveaxis(
-        in_slice[:, : n_chunks * chunk].reshape(num_tiles, n_chunks, chunk),
-        1, 0)
+    gid_t, msk_t = tile_slices(binning, config.tile_cap, config.chunk)
 
     def step(carry, inp):
         # t_all multiplies every valid q so the T<1e-4 stop is sticky
-        # across chunks (see raster/blend.py)
+        # across chunks (see raster/blend.py chunk_weights)
         t_all, gau_sem, n_hits = carry
         g, m = inp
-        xy = sp.mean2d[g]
-        con = sp.conic[g]
-        opa = sp.opacity[g]
-        dx = xy[:, None, :, 0] - fx[:, :, None]
-        dy = xy[:, None, :, 1] - fy[:, :, None]
-        power = (-0.5 * (con[:, None, :, 0] * dx * dx
-                         + con[:, None, :, 2] * dy * dy)
-                 - con[:, None, :, 1] * dx * dy)
-        alpha = jnp.minimum(ALPHA_CLAMP,
-                            opa[:, None, :] * jnp.exp(power))
-        valid = (m[:, None, :] & pix_ok[:, :, None]
-                 & (power <= 0.0) & (alpha >= ALPHA_MIN))
-        q = jnp.where(valid, 1.0 - alpha, 1.0)
-        p_incl = t_all[:, :, None] * jnp.cumprod(q, axis=-1)
-        active = valid & (p_incl >= T_EPS)
+        ck = chunk_weights(sp, g, m, fx, fy, t_all, pix_ok=pix_ok)
+        alpha, active, p_incl = ck["alpha"], ck["active"], ck["p_incl"]
         hit = active & (alpha > 0.005)                      # (T, 256, K)
         # per-instance sums over the tile's pixels
         inst_sem = jnp.einsum("tpk,tps->tks", hit.astype(jnp.float32),
@@ -309,9 +310,8 @@ def trace(
         (t0, jnp.zeros((P, S), jnp.float32), jnp.zeros((P,), jnp.int32)),
         (gid_t, msk_t))
 
-    out = render(scene, cam, bg_color, config,
-                 scaling_modifier=scaling_modifier,
-                 override_color=override_color)
+    out = _blend_stage(sp, binning, cam, bg_color, config,
+                       grid_x, grid_y)
     return {
         "render": out["render"],
         "gaussian_semantics": gau_sem,

@@ -247,3 +247,67 @@ def test_tile_depth_overflow_detectable():
                           backend="xla")
     out_ok = render(scene, cam, jnp.zeros(3), cfg_ok)
     assert int(out_ok["max_tile_depth"]) == depth <= 512
+
+
+def test_tile_cap_not_chunk_multiple():
+    """tile_cap that is not a chunk multiple must pad, not crash, and
+    match the rounded-up configuration exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=150, seed=9)
+    cam = make_test_camera(width=32, height=32)
+    a = render(scene, cam, jnp.zeros(3),
+               RasterConfig(max_instances=1 << 13, tile_cap=100,
+                            chunk=32, backend="xla"))
+    b = render(scene, cam, jnp.zeros(3),
+               RasterConfig(max_instances=1 << 13, tile_cap=128,
+                            chunk=32, backend="xla"))
+    assert int(a["max_tile_depth"]) <= 100  # same effective coverage
+    np.testing.assert_allclose(np.asarray(a["render"]),
+                               np.asarray(b["render"]), atol=1e-6)
+
+
+def test_reference_backend_honors_masks_and_offset():
+    """backend='reference' must apply semantic_masks and mean2d_offset
+    like the other backends (it used to silently drop both)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=80, seed=10)
+    cam = make_test_camera(width=32, height=32)
+    cfg = RasterConfig(backend="reference")
+
+    masks = jnp.zeros(scene.capacity)
+    out = render(scene, cam, jnp.zeros(3), cfg, semantic_masks=masks)
+    assert float(jnp.abs(out["semantics"]).max()) == 0.0
+
+    def loss(off):
+        o = render(scene, cam, jnp.zeros(3), cfg, mean2d_offset=off)
+        return jnp.sum(o["render"] ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((scene.capacity, 2)))
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_bad_backend_or_reduce_raises():
+    import jax.numpy as jnp
+    import pytest
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=20, seed=1)
+    cam = make_test_camera(width=16, height=16)
+    with pytest.raises(ValueError, match="backend"):
+        render(scene, cam, jnp.zeros(3), RasterConfig(backend="cuda"))
+    with pytest.raises(ValueError, match="reduce"):
+        render(scene, cam, jnp.zeros(3),
+               RasterConfig(backend="pallas", reduce="Sorted"))
