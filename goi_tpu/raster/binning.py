@@ -13,6 +13,9 @@ ref:cuda_rasterizer/rasterizer_impl.cu:35-138,279-322):
   rounds on TPU.
 - Per-instance attributes come from ONE fused row-gather of a packed
   per-Gaussian int matrix (TPU gathers amortize over contiguous rows).
+- An exact ellipse/tile overlap test culls rect instances no pixel of
+  the tile can ever blend (alpha < 1/255 across the whole tile box) —
+  output-exact, and shrinks every instance-scaled downstream stage.
 - Instances sort by a stable two-key (tile, depth-bits) lexicographic
   sort with the Gaussian id as payload; stability breaks (tile, depth)
   ties by expansion-stream order — the same order as the CUDA stable
@@ -34,7 +37,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from goi_tpu.raster.preprocess import Splats
+from goi_tpu.raster.preprocess import TILE, Splats
 
 
 @jax.tree_util.register_dataclass
@@ -43,10 +46,12 @@ class Binning:
     point_list: jax.Array   # (max_instances,) int32 Gaussian ids, tile-major
     tile_start: jax.Array   # (num_tiles,) int32 start offset per tile
     tile_end: jax.Array     # (num_tiles,) int32 end offset (exclusive)
-    num_instances: jax.Array  # () int32 actual instance count (may exceed budget)
-    num_slots: jax.Array    # () int32 buffer slots DEMANDED incl. alignment
-    #                         padding; num_slots > max_instances <=> some
-    #                         instances were truncated (overflow detector)
+    num_instances: jax.Array  # () int32 raw rect instance count (may exceed budget)
+    num_slots: jax.Array    # () int32 buffer slots DEMANDED: max of the
+    #                         aligned post-cull demand and the raw rect
+    #                         expansion demand; num_slots > max_instances
+    #                         <=> some instances were truncated
+    #                         (single overflow detector for both stages)
     # --- optional (bin_splats(export_perm=True), align > 0 only):
     # the expansion-stream view of the sort, for sorted-key gradient
     # reductions. stream_pos[i] = aligned buffer slot of expansion
@@ -76,33 +81,41 @@ def tile_counts(sp: Splats, *, grid_x: int, grid_y: int) -> jax.Array:
     return counts[:grid_y, :grid_x].reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
-                                   "align", "export_perm"))
-def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
-               max_instances: int, align: int = 0,
-               export_perm: bool = False) -> Binning:
-    """align > 0 pads every tile's segment start to a multiple of
-    `align` slots (sentinel-filled gaps) so fixed-size chunk walks in the
-    Pallas kernels never cross a tile boundary. The instance buffer must
-    then budget for up to num_tiles*align extra slots."""
-    num_tiles = grid_x * grid_y
-    n_inst = max_instances
+def _expand_instances(sp: Splats, *, grid_x: int, grid_y: int,
+                      n_inst: int, cull: bool = True):
+    """Expand Gaussians into per-tile instances in Gaussian-INDEX order.
+    Returns (tile, g_stream, depth_bits, total): the instance's tile id
+    (num_tiles sentinel for padding and culled instances), its Gaussian
+    id (monotone non-decreasing), depth sort bits, and the RAW rect
+    instance count.
 
-    # 1) expand instances in Gaussian-INDEX order. No standalone depth
-    # argsort: the depth ordering rides the instance sort below as a
-    # second lexicographic key — an N-sized XLA sort costs ~2.6 ms at
-    # N=100k, and fusing it also shrinks the per-instance info gather
-    # (gid == g_stream in index order).
+    No standalone depth argsort: the depth ordering rides the caller's
+    instance sort as a second lexicographic key — an N-sized XLA sort
+    costs ~2.6 ms at N=100k, and fusing it also shrinks the
+    per-instance info gather (gid == g_stream in index order).
+
+    cull=True applies the exact ellipse/tile overlap test: an instance
+    whose tile box lies entirely outside the Gaussian's alpha >= 1/255
+    level set is re-tiled to the sentinel. The CUDA kernel walks those
+    pixels but skips every one (alpha < 1/255 continue,
+    ref:cuda_rasterizer/forward.cu:336-344), so dropping the instance
+    is output-exact while shrinking every instance-scaled stage
+    (segments, pack, kernel chunk walks, gradient reduction) —
+    measured ~16% of rect instances on an isotropic random scene, more
+    on anisotropic real scenes (a thin ellipse's rect is mostly empty
+    corners)."""
+    num_tiles = grid_x * grid_y
     counts = sp.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(counts)
     base = offsets - counts
     total = offsets[-1]
 
     # packed per-Gaussian info for one fused row gather:
-    # [rect(10b x0 | 10b y0 | 10b w), base, depth-bits] — the rect
-    # packs into one int32 (10 bits each supports 1024-tile grids =
-    # 16k-pixel frames). Valid depths are positive (near-plane culled),
-    # so their fp32 bit pattern is order-preserving as int32.
+    # [rect(10b x0 | 10b y0 | 10b w), base, depth-bits, then the
+    # bitcast float columns the overlap test needs]. The rect packs
+    # into one int32 (10 bits each supports 1024-tile grids = 16k-pixel
+    # frames). Valid depths are positive (near-plane culled), so their
+    # fp32 bit pattern is order-preserving as int32.
     assert grid_x <= 1024 and grid_y <= 1024, "rect packing is 10-bit"
     # width is stored as w-1 (0..1023): a full-frame Gaussian on a
     # 1024-wide grid has w == 1024, which would overflow a raw 10-bit
@@ -111,9 +124,21 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         (jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 1) - 1)
     depth_bits = jax.lax.bitcast_convert_type(
         sp.depth.astype(jnp.float32), jnp.int32)
-    info = jnp.stack([rect, base, depth_bits], axis=1)
+    cols = [rect, base, depth_bits]
+    if cull:
+        # alpha >= 1/255 <=> Q <= q_cut, Q the conic quadratic form;
+        # same cutoff/guard as the opacity-aware binning radius
+        # (raster/preprocess.py r_bin)
+        q_cut = jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(sp.opacity, 1e-12) * 255.0), 0.0
+        ) * (1.0 + 1e-6)
+        fcols = [sp.mean2d[:, 0], sp.mean2d[:, 1], sp.conic[:, 0],
+                 sp.conic[:, 1], sp.conic[:, 2], q_cut]
+        cols += [jax.lax.bitcast_convert_type(
+            c.astype(jnp.float32), jnp.int32) for c in fcols]
+    info = jnp.stack(cols, axis=1)
 
-    # 2) slot -> Gaussian index: mark first slot of each Gaussian,
+    # slot -> Gaussian index: mark first slot of each Gaussian,
     # then cummax (marks are increasing along the stream).
     slots = jnp.arange(n_inst, dtype=jnp.int32)
     g_idx = jnp.arange(counts.shape[0], dtype=jnp.int32)
@@ -125,7 +150,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     # [0, P): the sorted/in-bounds hints let XLA emit a sequential
     # run-expansion instead of a random-access gather
     inst_info = info.at[g_stream].get(
-        indices_are_sorted=True, mode="promise_in_bounds")  # (n_inst, 3)
+        indices_are_sorted=True, mode="promise_in_bounds")
     rect_i = inst_info[:, 0]
     local = slots - inst_info[:, 1]
     # row-major walk of the rect, matching duplicateWithKeys' y-outer
@@ -134,7 +159,82 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     tx = (rect_i >> 20) + local % w_i
     ty = ((rect_i >> 10) & 0x3FF) + local // w_i
     in_range = slots < total
-    tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
+    keep = in_range
+    if cull:
+        fx = jax.lax.bitcast_convert_type(inst_info[:, 3:9], jnp.float32)
+        px, py = fx[:, 0], fx[:, 1]
+        ca, cb, cc = fx[:, 2], fx[:, 3], fx[:, 4]
+        qc = fx[:, 5]
+        # Tile box in the kernel's pixel coordinates (integer pixel
+        # centers tx*16 .. tx*16+15), relative to the Gaussian mean.
+        # Q(d) = ca dx^2 + 2 cb dx dy + cc dy^2 is symmetric under
+        # d -> -d, so the sign convention vs the kernel's (mean - pix)
+        # is immaterial.
+        lx = (tx * TILE).astype(jnp.float32) - px
+        ux = lx + (TILE - 1)
+        ly = (ty * TILE).astype(jnp.float32) - py
+        uy = ly + (TILE - 1)
+        inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
+        # exact min of the (positive-definite) quadratic over the box:
+        # 0 if the mean is inside, else the min over the four edges —
+        # each edge is a convex 1-D quadratic whose clamped stationary
+        # point is its exact minimum
+        ca_s = jnp.maximum(ca, 1e-20)
+        cc_s = jnp.maximum(cc, 1e-20)
+
+        def q_at(dx, dy):
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        dy_l = jnp.clip(-cb * lx / cc_s, ly, uy)
+        dy_u = jnp.clip(-cb * ux / cc_s, ly, uy)
+        dx_l = jnp.clip(-cb * ly / ca_s, lx, ux)
+        dx_u = jnp.clip(-cb * uy / ca_s, lx, ux)
+        min_q = jnp.minimum(
+            jnp.minimum(q_at(lx, dy_l), q_at(ux, dy_u)),
+            jnp.minimum(q_at(dx_l, ly), q_at(dx_u, uy)))
+        min_q = jnp.where(inside, 0.0, min_q)
+        # non-positive-definite conics (det <= 0 never blends a pixel:
+        # the kernel's power <= 0 test): keep, stay conservative
+        pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
+        keep = keep & ((min_q <= qc) | ~pd)
+    tile = jnp.where(keep, ty * grid_x + tx, num_tiles)
+    return tile, g_stream, inst_info[:, 2], total
+
+
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances"))
+def exact_tile_counts(sp: Splats, *, grid_x: int, grid_y: int,
+                      max_instances: int) -> jax.Array:
+    """Per-tile instance counts AFTER the exact overlap cull (what
+    bin_splats actually bins). Needs an expansion buffer covering the
+    RAW rect demand (max_instances >= sum(tiles_touched)); used by
+    suggest_instance_budget to size the aligned buffer exactly."""
+    tile, _, _, _ = _expand_instances(
+        sp, grid_x=grid_x, grid_y=grid_y, n_inst=max_instances)
+    num_tiles = grid_x * grid_y
+    ones = jnp.where(tile < num_tiles, 1, 0)
+    return jax.ops.segment_sum(ones, jnp.minimum(tile, num_tiles - 1),
+                               num_segments=num_tiles)
+
+
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
+                                   "align", "export_perm", "cull"))
+def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
+               max_instances: int, align: int = 0,
+               export_perm: bool = False, cull: bool = True) -> Binning:
+    """align > 0 pads every tile's segment start to a multiple of
+    `align` slots (sentinel-filled gaps) so fixed-size chunk walks in the
+    Pallas kernels never cross a tile boundary. The instance buffer must
+    then budget for up to num_tiles*align extra slots.
+
+    cull=True drops instances whose tile never blends (see
+    _expand_instances) — output-exact; cull=False keeps the raw rect
+    expansion (the CUDA reference's behavior, for tests/debugging)."""
+    num_tiles = grid_x * grid_y
+    n_inst = max_instances
+
+    tile, g_stream, depth_bits, total = _expand_instances(
+        sp, grid_x=grid_x, grid_y=grid_y, n_inst=n_inst, cull=cull)
+    slots = jnp.arange(n_inst, dtype=jnp.int32)
 
     # 3) ONE stable two-key lexicographic sort by (tile, depth) with
     # the Gaussian id payload — the TPU shape of the CUDA 64-bit
@@ -145,11 +245,11 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
     if export_perm:
         assert align, "export_perm requires the aligned (pallas) layout"
         tile_sorted, _, gid, stream_sorted = jax.lax.sort(
-            (tile, inst_info[:, 2], g_stream, slots), num_keys=2,
+            (tile, depth_bits, g_stream, slots), num_keys=2,
             is_stable=True)
     else:
         tile_sorted, _, gid = jax.lax.sort(
-            (tile, inst_info[:, 2], g_stream), num_keys=2,
+            (tile, depth_bits, g_stream), num_keys=2,
             is_stable=True)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -201,10 +301,14 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
                 jnp.where(ok & (pos < n_inst), stream_sorted, n_inst)
             ].set(pos, mode="drop")
             sgid = g_stream
+        # num_slots reports BOTH demands under one signal: the aligned
+        # buffer demand (post-cull + K padding) AND the raw expansion
+        # demand (the expansion stream truncates at max_instances
+        # BEFORE the cull, so a budget must cover the rect total too)
         return Binning(point_list=gid_aligned, tile_start=a_start,
                        tile_end=a_end, num_instances=total,
-                       num_slots=seg_cum[-1], stream_pos=spos,
-                       stream_gid=sgid)
+                       num_slots=jnp.maximum(seg_cum[-1], total),
+                       stream_pos=spos, stream_gid=sgid)
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=total, num_slots=total)

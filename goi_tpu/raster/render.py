@@ -59,6 +59,10 @@ class RasterConfig:
     # the sort permutation) + sorted-key segment-sum. Same math, both
     # deterministic; which is faster is a hardware-measured tradeoff.
     reduce: str = "scatter"
+    # exact ellipse/tile overlap cull in binning (output-exact; see
+    # binning._expand_instances). False = raw rect expansion, the CUDA
+    # reference's exact instance stream (debug/parity escape hatch).
+    cull: bool = True
 
 
 def _grid(cam: Camera):
@@ -77,7 +81,8 @@ def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
         grid_x=grid_x, grid_y=grid_y,
         max_instances=config.max_instances, align=align,
         export_perm=(config.backend == "pallas"
-                     and config.reduce == "sorted"))
+                     and config.reduce == "sorted"),
+        cull=config.cull)
 
 
 def _blend_stage(sp, binning, cam: Camera, bg_color,
@@ -136,27 +141,43 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
     align: the Pallas backend K-aligns every tile segment, which can
     demand up to num_tiles*(align-1) extra slots beyond the raw count —
     pass align=pallas_blend.K (the render() path uses it automatically)
-    so the budget covers the exact aligned demand."""
+    so the budget covers the exact aligned demand. The aligned demand
+    is counted AFTER the exact overlap cull (binning.exact_tile_counts)
+    but the budget also covers the raw rect expansion demand, matching
+    bin_splats' num_slots contract."""
     if not isinstance(cams, (list, tuple)):
         cams = [cams]
 
     # one fused program per camera: eager per-op dispatch here is slow
     # (and can stall tunneled backends)
     @partial(jax.jit, static_argnames=("gx", "gy"))
-    def need_fn(scene, cam, *, gx, gy):
-        sp = preprocess(scene, cam)
-        if align:
-            from goi_tpu.raster.binning import tile_counts
-            counts = tile_counts(sp, grid_x=gx, grid_y=gy)
-            return jnp.sum((counts + align - 1) // align * align)
-        return jnp.sum(sp.tiles_touched)
+    def raw_fn(scene, cam, *, gx, gy):
+        del gx, gy
+        return jnp.sum(preprocess(scene, cam).tiles_touched)
 
+    @partial(jax.jit, static_argnames=("gx", "gy", "cap"))
+    def aligned_fn(scene, cam, *, gx, gy, cap):
+        from goi_tpu.raster.binning import exact_tile_counts
+        sp = preprocess(scene, cam)
+        counts = exact_tile_counts(sp, grid_x=gx, grid_y=gy,
+                                   max_instances=cap)
+        return jnp.sum((counts + align - 1) // align * align)
+
+    q = BUDGET_QUANTUM
     worst = 0
     for cam in cams:
         gx, gy = _grid(cam)
-        worst = max(worst, int(need_fn(scene, cam, gx=gx, gy=gy)))
+        raw = int(raw_fn(scene, cam, gx=gx, gy=gy))
+        if align:
+            # the exact counter needs an expansion buffer >= raw;
+            # quantum-round its size to bound re-jit churn
+            cap = max((raw + q - 1) // q * q, q)
+            need = max(int(aligned_fn(scene, cam, gx=gx, gy=gy,
+                                      cap=cap)), raw)
+        else:
+            need = raw
+        worst = max(worst, need)
     want = max(int(worst * margin) + 1, minimum)
-    q = BUDGET_QUANTUM
     return (want + q - 1) // q * q
 
 

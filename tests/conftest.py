@@ -36,7 +36,7 @@ from goi_tpu.core.scene import GaussianScene  # noqa: E402
 
 
 def make_random_scene(n=300, seed=0, sh_degree=2, sem_dim=10,
-                      spread=1.0, capacity=None):
+                      spread=1.0, capacity=None, anisotropic=False):
     rng = np.random.default_rng(seed)
     xyz = rng.normal(0, spread, (n, 3)).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
@@ -48,6 +48,14 @@ def make_random_scene(n=300, seed=0, sh_degree=2, sem_dim=10,
     quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
     cap = scene.capacity
     pad = lambda a: np.pad(a, [(0, cap - n)] + [(0, 0)] * (a.ndim - 1))
+    if anisotropic:
+        # per-axis log-scales up to ~15:1 -> long thin ellipses whose
+        # screen rects are mostly empty corners (overlap-cull tests)
+        aniso = np.log(rng.uniform(0.004, 0.25, (n, 3))
+                       .astype(np.float32))
+        scene = scene.replace(scaling=jax.numpy.asarray(
+            np.pad(aniso, [(0, cap - n), (0, 0)],
+                   constant_values=-10.0)))
     scene = scene.replace(
         rotation=jax.numpy.asarray(pad(quats)),
         opacity=jax.numpy.asarray(

@@ -71,7 +71,7 @@ def test_binning_aligned_overflow_detectable():
     """Sparse scene, many tiles x few instances: alignment padding
     overflows a budget the raw count fits into — num_slots must report
     the aligned demand (ADVICE #3)."""
-    from goi_tpu.raster.binning import bin_splats, tile_counts
+    from goi_tpu.raster.binning import bin_splats, exact_tile_counts
     from goi_tpu.raster.pallas_blend import K
     from goi_tpu.raster.preprocess import preprocess
     from goi_tpu.raster.render import suggest_instance_budget
@@ -91,8 +91,10 @@ def test_binning_aligned_overflow_detectable():
     b = bin_splats(sp, grid_x=grid_x, grid_y=grid_y,
                    max_instances=budget, align=K)
     n_slots = int(b.num_slots)
-    counts = np.asarray(tile_counts(sp, grid_x=grid_x, grid_y=grid_y))
-    want = int((np.ceil(counts / K) * K).sum())
+    counts = np.asarray(exact_tile_counts(
+        sp, grid_x=grid_x, grid_y=grid_y, max_instances=budget))
+    binned = int(counts.sum())
+    want = max(int((np.ceil(counts / K) * K).sum()), raw)
     assert n_slots == want
     assert n_slots > budget  # alignment padding overflows the raw budget
     assert int(b.num_instances) == raw
@@ -102,8 +104,10 @@ def test_binning_aligned_overflow_detectable():
     assert good >= n_slots
     b2 = bin_splats(sp, grid_x=grid_x, grid_y=grid_y,
                     max_instances=good, align=K)
-    # with a sufficient budget no tile range is clamped
-    assert int(jnp.sum(b2.tile_end - b2.tile_start)) == raw
+    # with a sufficient budget no tile range is clamped; the binned
+    # total is the post-cull count (<= raw rect expansion)
+    assert int(jnp.sum(b2.tile_end - b2.tile_start)) == binned
+    assert binned <= raw
 
 
 def test_densify_overflow_keeps_split_parents():

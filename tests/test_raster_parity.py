@@ -140,3 +140,58 @@ def test_background_applied_to_color_not_semantics():
     np.testing.assert_allclose(corner, [0.25, 0.5, 0.75], atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["semantics"][:, 0, 0]),
                                0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_overlap_cull_is_output_exact(backend):
+    """The exact ellipse/tile overlap cull drops only instances the
+    blend can never use (alpha < 1/255 over the whole tile,
+    ref:cuda_rasterizer/forward.cu:336-344): forward outputs AND
+    gradients with cull on/off must be bit-identical, while the cull
+    must actually remove instances on an anisotropic scene."""
+    import dataclasses as _dc
+
+    from goi_tpu.raster.binning import bin_splats
+    from goi_tpu.raster.preprocess import preprocess
+
+    scene = make_random_scene(n=400, seed=7, anisotropic=True)
+    cam = make_test_camera(width=96, height=80, angle=0.3)
+    bg = jnp.zeros(3)
+    # tile_cap must cover the UNCULLED per-tile depth: otherwise the
+    # xla backend truncates the cull=False control differently and the
+    # comparison tests the truncation, not the cull
+    cfg = _dc.replace(CFG, backend=backend, tile_cap=2048)
+
+    sp = preprocess(scene, cam)
+    b_cull = bin_splats(sp, grid_x=6, grid_y=5,
+                        max_instances=CFG.max_instances)
+    b_raw = bin_splats(sp, grid_x=6, grid_y=5,
+                       max_instances=CFG.max_instances, cull=False)
+    kept = int(jnp.sum(b_cull.tile_end - b_cull.tile_start))
+    raw = int(jnp.sum(b_raw.tile_end - b_raw.tile_start))
+    assert kept < raw, "cull removed nothing on an anisotropic scene"
+
+    def run(cull):
+        c = _dc.replace(cfg, cull=cull)
+
+        def f(xyz):
+            out = render(scene.replace(xyz=xyz), cam, bg, c)
+            return (jnp.sum(out["render"]) + jnp.sum(out["alpha"])
+                    + jnp.sum(out["semantics"]))
+
+        val, grad = jax.value_and_grad(f)(scene.xyz)
+        return render(scene, cam, bg, c), val, grad
+
+    out_c, val_c, grad_c = run(True)
+    out_r, val_r, grad_r = run(False)
+    # culling shifts chunk boundaries, so per-pixel partial sums
+    # re-associate: identical terms, fp32 rounding only (and the
+    # documented measure-zero T-cutoff flips, PARITY.md deviation 3)
+    for key in ("render", "semantics", "depth", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[key]), np.asarray(out_r[key]),
+            rtol=2e-5, atol=2e-5, err_msg=key)
+    # the backward's suffix-from-total recompute amplifies the chunk
+    # re-association noise; a few elements land near 1e-3 relative
+    np.testing.assert_allclose(np.asarray(grad_c), np.asarray(grad_r),
+                               rtol=3e-3, atol=2e-4)
