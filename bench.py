@@ -49,9 +49,10 @@ def _fwd_fps(scene, cam, iters=30):
     import jax.numpy as jnp
     from goi_tpu.raster import RasterConfig, render
     from goi_tpu.raster.pallas_blend import K
-    from goi_tpu.raster.render import suggest_instance_budget
-    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
-    cfg = RasterConfig(max_instances=budget, backend="pallas")
+    from goi_tpu.raster.render import suggest_budgets
+    mi, mb = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas")
 
     def many(params):
         def it(i, acc):
@@ -100,14 +101,16 @@ def main():
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
     from goi_tpu.raster.pallas_blend import K
-    from goi_tpu.raster.render import suggest_instance_budget
-    # margin 1.1: binning/pack/reduction all scale with the BUDGET, and
-    # the CUDA baseline sizes these buffers exactly per frame
-    # (ref:rasterizer_impl.cu:155-230); 1.5x headroom is a training-loop
-    # concern, not a per-frame rasterization cost.
-    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
-    cfg = RasterConfig(max_instances=budget, backend="pallas",
-                       reduce=reduce_mode)
+    from goi_tpu.raster.render import suggest_budgets
+    # margin 1.0 (+BUDGET_QUANTUM rounding): binning/pack/reduction all
+    # scale with the BUDGETS, and the CUDA baseline sizes these buffers
+    # exactly per frame (ref:rasterizer_impl.cu:155-230); headroom is a
+    # training-loop concern, not a per-frame rasterization cost. The
+    # expansion and aligned buffers are sized independently (the
+    # overlap cull makes the hot aligned buffer smaller).
+    mi, mb = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas", reduce=reduce_mode)
 
     tgt_c = jnp.zeros((3, height, width))
     tgt_s = jnp.zeros((10, height, width))

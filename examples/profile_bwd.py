@@ -34,7 +34,7 @@ def main():
         DOUT, K, _blend_core, _reduce_instance_grads,
         _reduce_instance_grads_sorted)
     from goi_tpu.raster.preprocess import TILE, preprocess
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.render import suggest_budgets
 
     n, width, height = args.n, args.size, args.size
     rng = np.random.default_rng(0)
@@ -51,7 +51,7 @@ def main():
             rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
-    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
+    budget, binned = suggest_budgets(scene, cam, align=K, margin=1.0)
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
     s_dim = 10
@@ -78,7 +78,7 @@ def main():
     binning = jax.jit(lambda s: bin_splats(
         jax.tree.map(jax.lax.stop_gradient, s), grid_x=grid_x,
         grid_y=grid_y, max_instances=budget, align=K,
-        export_perm=True))(sp)
+        export_perm=True, binned_slots=binned))(sp)
 
     cot = jnp.ones((grid_x * grid_y, TILE * TILE, n_out + 2),
                    jnp.float32) * 1e-3
@@ -99,7 +99,7 @@ def main():
 
     # 2) reduction alone on synthetic instance grads
     g_fake = jnp.asarray(
-        rng.normal(0, 1, (budget + K, DOUT)).astype(np.float32))
+        rng.normal(0, 1, (binned + K, DOUT)).astype(np.float32))
 
     def red_scatter(g):
         outs = _reduce_instance_grads(g, binning.point_list, n, s_dim)
@@ -126,7 +126,7 @@ def main():
     ms_pre_bwd = timed(pre_bwd, scene)
 
     table = {
-        "budget": int(budget),
+        "budget": int(budget), "binned": int(binned),
         "blend_vjp_ms": round(ms_blend_vjp, 3),
         "reduce_scatter_ms": round(ms_red_scatter, 3),
         "reduce_sorted_ms": round(ms_red_sorted, 3),

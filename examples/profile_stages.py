@@ -36,7 +36,7 @@ def main():
     from goi_tpu.raster.binning import bin_splats
     from goi_tpu.raster.pallas_blend import K, blend_tiles_pallas
     from goi_tpu.raster.preprocess import TILE, preprocess
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.render import suggest_budgets
 
     n, width, height = args.n, args.size, args.size
     rng = np.random.default_rng(0)
@@ -53,9 +53,9 @@ def main():
             rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
-    budget = suggest_instance_budget(scene, cam, align=K, margin=1.1)
-    cfg = RasterConfig(max_instances=budget, backend="pallas",
-                       reduce=args.reduce)
+    budget, binned = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=budget, max_binned=binned,
+                       backend="pallas", reduce=args.reduce)
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
     tgt_c = jnp.zeros((3, height, width))
@@ -88,7 +88,8 @@ def main():
         sp = preprocess(scene.with_params(p), cam)
         b = bin_splats(jax.tree.map(jax.lax.stop_gradient, sp),
                        grid_x=grid_x, grid_y=grid_y,
-                       max_instances=budget, align=K)
+                       max_instances=budget, align=K,
+                       binned_slots=binned)
         return (jnp.sum(b.point_list) + jnp.sum(b.tile_start)).astype(
             jnp.float32) + jnp.sum(sp.mean2d)
 
@@ -96,7 +97,8 @@ def main():
         sp = preprocess(scene.with_params(p), cam)
         b = bin_splats(jax.tree.map(jax.lax.stop_gradient, sp),
                        grid_x=grid_x, grid_y=grid_y,
-                       max_instances=budget, align=K)
+                       max_instances=budget, align=K,
+                       binned_slots=binned)
         c, s, d, a = blend_tiles_pallas(sp, b, jnp.zeros(3),
                                         grid_x=grid_x, grid_y=grid_y)
         return jnp.sum(c) + jnp.sum(s) + jnp.sum(d) + jnp.sum(a)

@@ -217,20 +217,32 @@ def exact_tile_counts(sp: Splats, *, grid_x: int, grid_y: int,
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
-                                   "align", "export_perm", "cull"))
+                                   "align", "export_perm", "cull",
+                                   "binned_slots"))
 def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
                max_instances: int, align: int = 0,
-               export_perm: bool = False, cull: bool = True) -> Binning:
+               export_perm: bool = False, cull: bool = True,
+               binned_slots: Optional[int] = None) -> Binning:
     """align > 0 pads every tile's segment start to a multiple of
     `align` slots (sentinel-filled gaps) so fixed-size chunk walks in the
-    Pallas kernels never cross a tile boundary. The instance buffer must
-    then budget for up to num_tiles*align extra slots.
+    Pallas kernels never cross a tile boundary.
+
+    Two independent static sizes (the cull makes them diverge):
+    - max_instances sizes the EXPANSION/sort arrays — must cover the raw
+      rect demand (sum(tiles_touched)); overflow truncates the expansion
+      stream and is reported via num_instances.
+    - binned_slots (align path only; default max_instances) sizes the
+      ALIGNED instance buffer everything downstream scales with (pack,
+      kernel walks, gradient reduction) — must cover the post-cull
+      K-aligned demand; overflow clamps tile ranges and is reported via
+      num_slots.
 
     cull=True drops instances whose tile never blends (see
     _expand_instances) — output-exact; cull=False keeps the raw rect
     expansion (the CUDA reference's behavior, for tests/debugging)."""
     num_tiles = grid_x * grid_y
     n_inst = max_instances
+    n_binned = binned_slots if binned_slots is not None else n_inst
 
     tile, g_stream, depth_bits, total = _expand_instances(
         sp, grid_x=grid_x, grid_y=grid_y, n_inst=n_inst, cull=cull)
@@ -280,7 +292,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # are the sorted tail — a 2^30 sentinel keeps the whole index
         # stream sorted and out-of-bounds (mode="drop" discards it)
         pos = jnp.where(ok, pos, jnp.int32(2 ** 30))
-        gid_aligned = jnp.full_like(gid, -1).at[pos].set(
+        gid_aligned = jnp.full(n_binned, -1, gid.dtype).at[pos].set(
             gid, mode="drop", indices_are_sorted=True)
         # clamp ranges into the (static) buffer: overflow truncates
         # instances of the highest-index tiles (the CUDA version cannot
@@ -289,7 +301,7 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
         # ALIGNED demand (seg_cum[-1]) is reported in num_slots so
         # callers can detect truncation — the alignment padding can
         # overflow the buffer even when the raw count fits.
-        cap = jnp.int32(n_inst)
+        cap = jnp.int32(n_binned)
         a_start = jnp.minimum(a_start, cap)
         a_end = jnp.minimum(a_end, cap)
         spos = sgid = None
@@ -298,16 +310,20 @@ def bin_splats(sp: Splats, *, grid_x: int, grid_y: int,
             # (2^30 sentinel for instances the clamp dropped and the
             # padding tail — both stay un-set via mode='drop')
             spos = jnp.full(n_inst, 2 ** 30, jnp.int32).at[
-                jnp.where(ok & (pos < n_inst), stream_sorted, n_inst)
+                jnp.where(ok & (pos < n_binned), stream_sorted, n_inst)
             ].set(pos, mode="drop")
             sgid = g_stream
-        # num_slots reports BOTH demands under one signal: the aligned
-        # buffer demand (post-cull + K padding) AND the raw expansion
-        # demand (the expansion stream truncates at max_instances
-        # BEFORE the cull, so a budget must cover the rect total too)
+        # num_slots reports the aligned buffer demand; when the two
+        # sizes are coupled (binned_slots defaulted) it also folds in
+        # the raw expansion demand so the single budget stays safe.
+        # With decoupled sizes, check num_instances vs max_instances
+        # separately for expansion truncation.
+        aligned_demand = seg_cum[-1]
+        if binned_slots is None:
+            aligned_demand = jnp.maximum(aligned_demand, total)
         return Binning(point_list=gid_aligned, tile_start=a_start,
                        tile_end=a_end, num_instances=total,
-                       num_slots=jnp.maximum(seg_cum[-1], total),
+                       num_slots=aligned_demand,
                        stream_pos=spos, stream_gid=sgid)
 
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,

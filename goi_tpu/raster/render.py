@@ -53,6 +53,12 @@ class RasterConfig:
     chunk: int = 64
     backend: str = "xla"
     debug: bool = False
+    # pallas backend: size of the K-aligned post-cull instance buffer
+    # (pack, kernel walks, gradient reduction all scale with it); None
+    # couples it to max_instances. The overlap cull makes the aligned
+    # demand smaller than the raw rect expansion demand on deep scenes
+    # and larger on sparse ones — suggest_budgets() sizes both exactly.
+    max_binned: Optional[int] = None
     # instance->Gaussian gradient reduction strategy (pallas backend):
     # 'scatter' = one segment-sum scatter-add keyed by tile-sorted gids;
     # 'sorted' = gather grads to expansion-stream order (binning exports
@@ -82,7 +88,8 @@ def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
         max_instances=config.max_instances, align=align,
         export_perm=(config.backend == "pallas"
                      and config.reduce == "sorted"),
-        cull=config.cull)
+        cull=config.cull,
+        binned_slots=(config.max_binned if align else None))
 
 
 def _blend_stage(sp, binning, cam: Camera, bg_color,
@@ -143,8 +150,22 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
     pass align=pallas_blend.K (the render() path uses it automatically)
     so the budget covers the exact aligned demand. The aligned demand
     is counted AFTER the exact overlap cull (binning.exact_tile_counts)
-    but the budget also covers the raw rect expansion demand, matching
-    bin_splats' num_slots contract."""
+    but the single budget also covers the raw rect expansion demand.
+    For independently sized expansion/aligned buffers (smaller hot
+    buffers on deep scenes), use suggest_budgets()."""
+    mi, mb = suggest_budgets(scene, cams, margin=margin,
+                             minimum=minimum, align=align)
+    return max(mi, mb)
+
+
+def suggest_budgets(scene: GaussianScene, cams, *, margin: float = 1.5,
+                    minimum: int = 1 << 15,
+                    align: int = 0) -> tuple:
+    """Size the two bin_splats buffers independently:
+    returns (max_instances, max_binned) — the raw rect expansion demand
+    and the post-cull K-aligned buffer demand, each with `margin`
+    headroom and BUDGET_QUANTUM rounding. With align == 0 the second
+    equals the first (the XLA backend has no separate aligned buffer)."""
     if not isinstance(cams, (list, tuple)):
         cams = [cams]
 
@@ -164,21 +185,24 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
         return jnp.sum((counts + align - 1) // align * align)
 
     q = BUDGET_QUANTUM
-    worst = 0
+    worst_raw = worst_aligned = 0
     for cam in cams:
         gx, gy = _grid(cam)
         raw = int(raw_fn(scene, cam, gx=gx, gy=gy))
+        worst_raw = max(worst_raw, raw)
         if align:
             # the exact counter needs an expansion buffer >= raw;
             # quantum-round its size to bound re-jit churn
             cap = max((raw + q - 1) // q * q, q)
-            need = max(int(aligned_fn(scene, cam, gx=gx, gy=gy,
-                                      cap=cap)), raw)
-        else:
-            need = raw
-        worst = max(worst, need)
-    want = max(int(worst * margin) + 1, minimum)
-    return (want + q - 1) // q * q
+            worst_aligned = max(worst_aligned, int(aligned_fn(
+                scene, cam, gx=gx, gy=gy, cap=cap)))
+
+    def fit(worst):
+        want = max(int(worst * margin) + 1, minimum)
+        return (want + q - 1) // q * q
+
+    mi = fit(worst_raw)
+    return mi, (fit(worst_aligned) if align else mi)
 
 
 def image_to_tiles(img: jax.Array, grid_x: int, grid_y: int) -> jax.Array:
