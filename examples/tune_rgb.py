@@ -59,7 +59,7 @@ def main():
     from goi_tpu.core.scene import GaussianScene
     from goi_tpu.eval.metrics import psnr
     from goi_tpu.raster import RasterConfig, render
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.render import suggest_budgets
     from goi_tpu.train.optim import OptimConfig
     from goi_tpu.train.rgb import train_rgb
 
@@ -74,8 +74,9 @@ def main():
     train_idx = [i for i in range(n_views) if i % 8 != 0]
 
     from goi_tpu.raster.pallas_blend import K
-    budget = suggest_instance_budget(gt_scene, cams[:4], align=K)
-    cfg = RasterConfig(max_instances=budget, backend="pallas")
+    budget, binned = suggest_budgets(gt_scene, cams[:4], align=K)
+    cfg = RasterConfig(max_instances=budget, max_binned=binned,
+                       backend="pallas")
     bg = jnp.zeros(3)
 
     import jax
@@ -134,9 +135,12 @@ def main():
     # estimate on the trained scene (a stale budget truncates the
     # deepest instances and depresses PSNR on dense scenes).
     import dataclasses as _dc
-    eval_budget = max(final_cfg.max_instances,
-                      suggest_instance_budget(trained, cams[:4], align=K))
-    ecfg = _dc.replace(final_cfg, max_instances=eval_budget)
+    emi, emb = suggest_budgets(trained, cams[:4], align=K)
+    ecfg = _dc.replace(
+        final_cfg,
+        max_instances=max(final_cfg.max_instances, emi),
+        max_binned=max(final_cfg.max_binned or final_cfg.max_instances,
+                       emb))
     ps = [float(psnr(render(trained, cams[i], bg, ecfg)["render"],
                      jnp.asarray(images[i]))) for i in test_idx]
     train_ps = [float(psnr(render(trained, cams[i], bg, ecfg)["render"],

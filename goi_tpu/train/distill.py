@@ -79,7 +79,8 @@ def create_distill_state(
             anneal_t = jnp.where(state.step < 1000, 1.0, 2.0)
             loss, aux = distillation_loss(decoder, lut, sem_flat,
                                           gt_flat, anneal_t)
-            return loss, dict(aux, num_slots=out["num_slots"])
+            return loss, dict(aux, num_slots=out["num_slots"],
+                              num_instances=out["num_instances"])
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
@@ -168,14 +169,11 @@ def train_distillation(
             tb.scalar("iter_time", timer.ms, it)
         if it % log_every == 1 or it == iterations:
             slots = int(aux["num_slots"])
-            if slots > raster_cfg.max_instances:
-                from goi_tpu.raster.render import BUDGET_QUANTUM as _q
-                new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
-                print(f"[goi_tpu] instance budget overflow ({slots} > "
-                      f"{raster_cfg.max_instances}); rebudgeting to "
-                      f"{new_budget} (re-jit)")
-                raster_cfg = dataclasses.replace(
-                    raster_cfg, max_instances=new_budget)
+            ninst = int(aux["num_instances"])
+            binned_cap = raster_cfg.max_binned or raster_cfg.max_instances
+            if slots > binned_cap or ninst > raster_cfg.max_instances:
+                from goi_tpu.train.rgb import _rebudget
+                raster_cfg = _rebudget(raster_cfg, slots, ninst)
             loss = float(aux["total"])
             ema = 0.4 * loss + 0.6 * (ema or loss)
             print(f"iter {it}, sem_loss: {loss:.6f} "

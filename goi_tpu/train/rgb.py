@@ -64,9 +64,10 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
             s = ssim(img, gt_image)
             loss = (1.0 - cfg.lambda_dssim) * ll1 \
                 + cfg.lambda_dssim * (1.0 - s)
-            return loss, (out["radii"], ll1, out["num_slots"])
+            return loss, (out["radii"], ll1, out["num_slots"],
+                          out["num_instances"])
 
-        (loss, (radii, ll1, num_slots)), (g_params, g_mean2d) = \
+        (loss, (radii, ll1, num_slots, num_inst)), (g_params, g_mean2d) = \
             jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                 state.scene.params(), offset0)
@@ -86,7 +87,8 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
         new = RGBTrainState(scene=scene, opt_state=opt_state,
                             stats=stats, step=state.step + 1)
         return new, {"loss": loss, "l1": ll1, "radii_max": radii.max(),
-                     "num_slots": num_slots, "gnorm": gnorm}
+                     "num_slots": num_slots, "num_instances": num_inst,
+                     "gnorm": gnorm}
 
     def densify_fn(state: RGBTrainState, key, extent: float,
                    max_screen_size: int = 0) -> Tuple[RGBTrainState, dict]:
@@ -100,6 +102,40 @@ def create_rgb_trainer(cfg: OptimConfig, raster_cfg: RasterConfig,
                                    opt_state=opt_state, stats=stats), info
 
     return init_fn, step_fn, densify_fn
+
+
+def _rebudget(raster_cfg: RasterConfig, slots: int, ninst: int,
+              final: bool = False) -> RasterConfig:
+    """Grow whichever budget overflowed (1.5x headroom, quantum-rounded).
+
+    slots = aligned post-cull demand (vs max_binned, or max_instances
+    when coupled); ninst = raw rect expansion demand (vs
+    max_instances). Silently truncating either collapses training
+    (observed: clean 7k-iter run diverged at ~iter 4700 exactly when
+    num_slots crossed the budget)."""
+    from goi_tpu.raster.render import BUDGET_QUANTUM as _q
+
+    def fit(x):
+        return (int(x * 1.5) + _q - 1) // _q * _q
+
+    binned_cap = raster_cfg.max_binned or raster_cfg.max_instances
+    tag = "final-step budget overflow" if final \
+        else "instance budget overflow"
+    if raster_cfg.max_binned is None:
+        # coupled mode: num_slots already folds in the raw demand
+        new_mi = fit(max(slots, ninst, raster_cfg.max_instances))
+        print(f"[goi_tpu] {tag} (demand {max(slots, ninst)}/"
+              f"{raster_cfg.max_instances}); rebudgeting to {new_mi} "
+              f"(re-jit)")
+        return dataclasses.replace(raster_cfg, max_instances=new_mi)
+    new_mi = fit(ninst) if ninst > raster_cfg.max_instances \
+        else raster_cfg.max_instances
+    new_mb = fit(slots) if slots > binned_cap else binned_cap
+    print(f"[goi_tpu] {tag} (aligned {slots}/{binned_cap}, raw "
+          f"{ninst}/{raster_cfg.max_instances}); rebudgeting to "
+          f"{new_mi}/{new_mb} (re-jit)")
+    return dataclasses.replace(raster_cfg, max_instances=new_mi,
+                               max_binned=new_mb)
 
 
 def train_rgb(
@@ -177,16 +213,13 @@ def train_rgb(
         # would block the host every iteration and defeat JAX's async
         # pipelining, while one step of slack costs at most one
         # truncated step before the rebudget fires. ----
-        prev_slots, pending_slots = pending_slots, aux["num_slots"]
-        slots = int(prev_slots) if prev_slots is not None else 0
-        if slots > raster_cfg.max_instances:
-            from goi_tpu.raster.render import BUDGET_QUANTUM as _q
-            new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
-            print(f"[goi_tpu] instance budget overflow ({slots} > "
-                  f"{raster_cfg.max_instances}); rebudgeting to "
-                  f"{new_budget} (re-jit)")
-            raster_cfg = dataclasses.replace(
-                raster_cfg, max_instances=new_budget)
+        prev_slots, pending_slots = pending_slots, (
+            aux["num_slots"], aux["num_instances"])
+        slots, ninst = ((int(prev_slots[0]), int(prev_slots[1]))
+                        if prev_slots is not None else (0, 0))
+        binned_cap = raster_cfg.max_binned or raster_cfg.max_instances
+        if slots > binned_cap or ninst > raster_cfg.max_instances:
+            raster_cfg = _rebudget(raster_cfg, slots, ninst)
             _, step_fn, densify_fn = create_rgb_trainer(
                 cfg, raster_cfg, spatial_lr_scale=scene_extent)
             step_jit = jax.jit(step_fn)
@@ -205,15 +238,10 @@ def train_rgb(
     # the slack check above never sees the LAST step's counter; fold it
     # in so the returned raster_cfg is valid for final eval renders
     if pending_slots is not None:
-        slots = int(pending_slots)
-        if slots > raster_cfg.max_instances:
-            from goi_tpu.raster.render import BUDGET_QUANTUM as _q
-            new_budget = (int(slots * 1.5) + _q - 1) // _q * _q
-            print(f"[goi_tpu] final-step budget overflow ({slots} > "
-                  f"{raster_cfg.max_instances}); returning budget "
-                  f"{new_budget}")
-            raster_cfg = dataclasses.replace(
-                raster_cfg, max_instances=new_budget)
+        slots, ninst = int(pending_slots[0]), int(pending_slots[1])
+        binned_cap = raster_cfg.max_binned or raster_cfg.max_instances
+        if slots > binned_cap or ninst > raster_cfg.max_instances:
+            raster_cfg = _rebudget(raster_cfg, slots, ninst, final=True)
     if return_raster_cfg:
         return state, raster_cfg
     return state

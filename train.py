@@ -68,10 +68,16 @@ def main(argv=None):
     if args.max_instances > 0:
         budget = args.max_instances
     else:
-        from goi_tpu.raster.render import suggest_instance_budget
-        budget = suggest_instance_budget(scene.gaussians, cams[:8])
-        print(f"instance budget: {budget}")
-    raster_cfg = RasterConfig(max_instances=budget, backend="pallas")
+        from goi_tpu.raster.pallas_blend import K
+        from goi_tpu.raster.render import suggest_budgets
+        budget, binned = suggest_budgets(scene.gaussians, cams[:8],
+                                         align=K)
+        print(f"instance budgets: {budget} expansion / {binned} aligned")
+        raster_cfg = RasterConfig(max_instances=budget,
+                                  max_binned=binned, backend="pallas")
+    if args.max_instances > 0:
+        raster_cfg = RasterConfig(max_instances=budget,
+                                  backend="pallas")
 
     def validation_report(it, state):
         """PSNR over the eval split at test iterations
