@@ -54,7 +54,12 @@ def _fwd_fps(scene, cam, iters=30):
     cfg = RasterConfig(max_instances=mi, max_binned=mb,
                        backend="pallas")
 
-    def many(params):
+    # the scene is a jit ARGUMENT (not a closure constant): closed-over
+    # 1M-Gaussian arrays get embedded into the HLO and overflow the
+    # remote-compile tunnel's request limit
+    def many(scene):
+        params = scene.params()
+
         def it(i, acc):
             p = jax.tree.map(
                 lambda x: x * (1.0 + i.astype(jnp.float32) * 1e-12),
@@ -64,10 +69,110 @@ def _fwd_fps(scene, cam, iters=30):
         return jax.lax.fori_loop(0, iters, it, 0.0)
 
     step = jax.jit(many)
-    jax.block_until_ready(step(scene.params()))
+    jax.block_until_ready(step(scene))
     t0 = time.time()
-    jax.block_until_ready(step(scene.params()))
+    jax.block_until_ready(step(scene))
     return iters / (time.time() - t0)
+
+
+def _train_mrays(scene, cam, reduce_mode, iters=10):
+    """Full fwd+bwd step rate for an arbitrary scene (Mrays/s)."""
+    import jax
+    import jax.numpy as jnp
+    from goi_tpu.raster import RasterConfig, render
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
+    mi, mb = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas", reduce=reduce_mode)
+    tgt_c = jnp.zeros((3, cam.height, cam.width))
+
+    # scene as jit ARG, not closure constant (see _fwd_fps)
+    def many(scene):
+        def loss_fn(params):
+            out = render(scene.with_params(params), cam, jnp.zeros(3),
+                         cfg)
+            return (jnp.mean(jnp.abs(out["render"] - tgt_c))
+                    + jnp.mean(jnp.abs(out["semantics"])))
+
+        params = scene.params()
+
+        def it(i, acc):
+            p = jax.tree.map(
+                lambda x: x * (1.0 + i.astype(jnp.float32) * 1e-12),
+                params)
+            g = jax.grad(loss_fn)(p)
+            return acc + sum(jnp.sum(v) for v in jax.tree.leaves(g))
+        return jax.lax.fori_loop(0, iters, it, 0.0)
+
+    step = jax.jit(many)
+    jax.block_until_ready(step(scene))
+    t0 = time.time()
+    jax.block_until_ready(step(scene))
+    return cam.width * cam.height / ((time.time() - t0) / iters) / 1e6
+
+
+def _distill_ms(scene, cam, iters=10):
+    """Semantic-distillation step (render + codebook decode + 4-term
+    loss + 3 optimizers), the config-3/4 training workload."""
+    import jax
+    import jax.numpy as jnp
+    from goi_tpu.raster import RasterConfig
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
+    from goi_tpu.semantic.codebook import SemanticDecoder
+    from goi_tpu.train.distill import create_distill_state
+    from goi_tpu.train.optim import OptimConfig
+    mi, mb = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas")
+    ape_dim, tab = 256, 300   # reference dims (ref:arguments 39-42)
+    dec = SemanticDecoder.create(jax.random.PRNGKey(0),
+                                 dim_in=scene.sem_dim, dim_out=tab)
+    lut = jax.random.normal(jax.random.PRNGKey(1), (tab, ape_dim))
+    st, train_step = create_distill_state(scene, dec, lut,
+                                          OptimConfig())
+    feat = jax.random.normal(jax.random.PRNGKey(2),
+                             (ape_dim, cam.height, cam.width))
+    bg = jnp.zeros(3)
+
+    # feat as jit ARG, not closure constant (see _fwd_fps)
+    def many(st, feat):
+        def it(i, st):
+            st2, _ = train_step(st, cam, feat, bg, cfg)
+            return st2
+        return jax.lax.fori_loop(0, iters, it, st)
+
+    step = jax.jit(many)
+    jax.block_until_ready(step(st, feat))
+    t0 = time.time()
+    jax.block_until_ready(step(st, feat))
+    return (time.time() - t0) / iters * 1000
+
+
+def _trace_ms(scene, cam, iters=10):
+    """2D->3D lifting (trace) walltime per call."""
+    import jax
+    import jax.numpy as jnp
+    from goi_tpu.raster import RasterConfig, trace
+    from goi_tpu.raster.render import suggest_budgets
+    mi, _ = suggest_budgets(scene, cam, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, backend="xla")
+    feat = jax.random.normal(jax.random.PRNGKey(2),
+                             (scene.sem_dim, cam.height, cam.width))
+
+    def many(feat):
+        def it(i, acc):
+            f = feat * (1.0 + i.astype(jnp.float32) * 1e-12)
+            out = trace(scene, cam, f, jnp.zeros(3), cfg)
+            return acc + jnp.sum(out["gaussian_semantics"])
+        return jax.lax.fori_loop(0, iters, it, 0.0)
+
+    step = jax.jit(many)
+    jax.block_until_ready(step(feat))
+    t0 = time.time()
+    jax.block_until_ready(step(feat))
+    return (time.time() - t0) / iters * 1000
 
 
 def main():
@@ -164,6 +269,17 @@ def main():
         # RGB-only training step (no-semantic reference variant)
         rgb_scene = _make_scene(n, 0)
         det["fwd_fps_512_rgb"] = round(_fwd_fps(rgb_scene, cam), 1)
+        # production scale: 1M Gaussians (MipNeRF360 scenes train to
+        # 1-6M primitives), fwd+bwd step + interactive FPS
+        big = _make_scene(1_000_000, 10, seed=1)
+        det["train_mrays_per_s_1M"] = round(
+            _train_mrays(big, cam, reduce_mode), 3)
+        det["fwd_fps_512_sem_1M"] = round(_fwd_fps(big, cam), 1)
+        # semantic-distillation step (BASELINE config 3/4 proxy:
+        # render + codebook decode + 4-term loss + three optimizers)
+        det["distill_step_ms"] = round(_distill_ms(scene, cam), 3)
+        # trace: 2D->3D feature lifting (ref trace kernel workload)
+        det["trace_ms"] = round(_trace_ms(scene, cam), 3)
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(det, f, indent=1)
         print(json.dumps(det), file=sys.stderr)

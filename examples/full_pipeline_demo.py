@@ -76,7 +76,8 @@ def main():
     from goi_tpu.core.camera import Camera
     from goi_tpu.eval.metrics import iou_metrics, psnr
     from goi_tpu.raster import RasterConfig, render
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
 
     W, H = (256, 192) if args.fast else (512, 384)
     n_views = 8 if args.fast else 24
@@ -93,8 +94,9 @@ def main():
     test_cams = cams[::8]
     train_cams = [c for i, c in enumerate(cams) if i % 8 != 0]
 
-    budget = suggest_instance_budget(gt_scene, cams[:4])
-    cfg = RasterConfig(max_instances=budget, backend="pallas")
+    budget, binned = suggest_budgets(gt_scene, cams[:4], align=K)
+    cfg = RasterConfig(max_instances=budget, max_binned=binned,
+                       backend="pallas")
     bg = jnp.zeros(3)
 
     # ---- 2. dataset: RGB + APE feature maps + GT object masks ----

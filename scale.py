@@ -26,7 +26,8 @@ def main():
     from goi_tpu.dist.mesh import make_mesh, shard_scene
     from goi_tpu.dist.render import render_sharded
     from goi_tpu.raster import RasterConfig, render
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.pallas_blend import K as _K
+    from goi_tpu.raster.render import suggest_budgets
 
     n = 100_000
     width, height = 512, 512
@@ -42,7 +43,7 @@ def main():
             rng.normal(0, 1, (n, 1)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
-    budget = suggest_instance_budget(scene, cam)
+    budget, binned = suggest_budgets(scene, cam, align=_K)
     rays = width * height
 
     n_devices = len(jax.devices())
@@ -50,7 +51,8 @@ def main():
               and (height // 16) % d == 0]
     base = None
     for d in counts:
-        cfg = RasterConfig(max_instances=budget, backend="pallas")
+        cfg = RasterConfig(max_instances=budget, max_binned=binned,
+                           backend="pallas")
         if d == 1:
             def loss(params):
                 out = render(scene.with_params(params), cam,

@@ -44,7 +44,8 @@ def main(argv=None):
     from goi_tpu.app.session import QuerySession
     from goi_tpu.data.scene import Scene
     from goi_tpu.raster import RasterConfig
-    from goi_tpu.raster.render import suggest_instance_budget
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
     from goi_tpu.semantic.codebook import SemanticDecoder
     from goi_tpu.viewer.server import NetworkGUI
 
@@ -58,9 +59,14 @@ def main(argv=None):
         decoder = SemanticDecoder(weights=[jnp.zeros((1, mp.sem_dim))],
                                   biases=[jnp.zeros(1)])
 
-    budget = args.max_instances or suggest_instance_budget(
-        scene.gaussians, scene.train_cameras[:4])
-    cfg = RasterConfig(max_instances=budget, backend="pallas")
+    if args.max_instances:
+        cfg = RasterConfig(max_instances=args.max_instances,
+                           backend="pallas")
+    else:
+        budget, binned = suggest_budgets(
+            scene.gaussians, scene.train_cameras[:4], align=K)
+        cfg = RasterConfig(max_instances=budget, max_binned=binned,
+                           backend="pallas")
     sess = QuerySession(scene.gaussians, decoder, lut, cfg,
                         white_background=mp.white_background)
     if args.prompt and args.prompt_store:
