@@ -151,13 +151,15 @@ def _distill_ms(scene, cam, iters=10):
 
 
 def _trace_ms(scene, cam, iters=10):
-    """2D->3D lifting (trace) walltime per call."""
+    """2D->3D lifting (trace) walltime per call (fused pallas path)."""
     import jax
     import jax.numpy as jnp
     from goi_tpu.raster import RasterConfig, trace
+    from goi_tpu.raster.pallas_blend import K
     from goi_tpu.raster.render import suggest_budgets
-    mi, _ = suggest_budgets(scene, cam, margin=1.0)
-    cfg = RasterConfig(max_instances=mi, backend="xla")
+    mi, mb = suggest_budgets(scene, cam, align=K, margin=1.0)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas")
     feat = jax.random.normal(jax.random.PRNGKey(2),
                              (scene.sem_dim, cam.height, cam.width))
 

@@ -469,6 +469,194 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         out_dma(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
 
 
+def _trace_kernel(start_ref, end_ref, feat_ref, semt_ref, zeros_ref,
+                  out_ref, rows_ref, scratch, tscratch, sem_in,
+                  sem_out, *, grid_x, n_out, sa):
+    """Fused forward blend + 2D->3D feature lifting (traceCUDA,
+    ref:cuda_rasterizer/forward.cu:422-583): ONE chunk walk produces
+    both the blended tile image and, per instance, the sum over the
+    tile's pixels it blends with alpha > 0.005 of the pixel's
+    feature-augmented vector (semt: (PIX, sa), image features plus a
+    trailing ones channel zeroed outside the image, so lane sa-1 is the
+    hit counter — the CUDA kernel's atomicAdd num_gsem,
+    ref:forward.cu:521-526, as one more matmul column). Per-instance
+    rows go to disjoint K-aligned slices exactly like _bwd_kernel;
+    zeros_ref is aliased to rows_ref (see _bwd_kernel docstring)."""
+    del zeros_ref
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    n_chunks = pl.cdiv(end - start, K)
+    px, py = _pixel_coords(t, grid_x)
+    semt = semt_ref[0]                                # (PIX, sa)
+
+    def in_dma(k, slot):
+        off = pl.multiple_of(start + k * K, K)
+        return pltpu.make_async_copy(
+            feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
+            sem_in.at[slot])
+
+    def out_dma(k, slot):
+        off = pl.multiple_of(start + k * K, K)
+        return pltpu.make_async_copy(
+            tscratch.at[slot], rows_ref.at[pl.ds(off, K)],
+            sem_out.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    # constant-zero padding lanes of the row tiles, written once
+    tscratch[0, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
+                                    jnp.float32)
+    tscratch[1, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
+                                    jnp.float32)
+
+    def cond(c):
+        k, t_all, t_blend, acc = c
+        return (k < n_chunks) & (jnp.max(t_all) >= T_EPS)
+
+    def body(c):
+        k, t_all, t_blend, acc = c
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            in_dma(k + 1, 1 - slot).start()
+
+        in_dma(k, slot).wait()
+        f = scratch[slot]
+        off = pl.multiple_of(start + k * K, K)
+        ck = _chunk_common(f, px, py, off, end, t_all)
+        fout = f[6:6 + n_out, :]
+        acc = acc + jax.lax.dot_general(
+            ck["w"], fout, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # blended AND alpha > 0.005 (strict, ref:forward.cu:512)
+        hit = (ck["active"] & (ck["alpha"] > 0.005)) \
+            .astype(jnp.float32)                      # (PIX, K)
+        rows = jax.lax.dot_general(
+            hit, semt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (K, sa)
+
+        @pl.when(k >= 2)
+        def _():
+            out_dma(k - 2, slot).wait()
+
+        tscratch[slot, :, :sa] = rows
+        out_dma(k, slot).start()
+        return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
+
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, n_out), jnp.float32))
+    k_done, _, t_blend, acc = jax.lax.while_loop(cond, body, init)
+
+    # drain in-flight DMAs (same pattern as _bwd_kernel)
+    @pl.when(k_done < n_chunks)
+    def _():
+        in_dma(k_done, jax.lax.rem(k_done, 2)).wait()
+
+    @pl.when(k_done >= 2)
+    def _():
+        out_dma(k_done - 2, jax.lax.rem(k_done, 2)).wait()
+
+    @pl.when(k_done >= 1)
+    def _():
+        out_dma(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
+
+    out_ref[0, :, :n_out] = acc
+    out_ref[0, :, n_out:n_out + 1] = t_blend
+    out_ref[0, :, n_out + 1:] = jnp.zeros(
+        (PIX, out_ref.shape[-1] - n_out - 1), jnp.float32)
+
+
+def trace_tiles_pallas(sp: Splats, binning: Binning,
+                       sem_aug_tiles: jax.Array, bg: jax.Array,
+                       *, grid_x: int, grid_y: int):
+    """Fused render + trace (the XLA path runs a 64-step scan over
+    every tile's padded cap — this walks exact segments once).
+
+    sem_aug_tiles: (T, PIX, sa) per-pixel features to lift with a
+    trailing ONES channel, both zeroed outside the image (tile
+    padding), so the ones channel doubles as the hit counter. Counts
+    accumulate in f32 — exact below 2^24 hits per Gaussian (an 8.8 Mpx
+    frame cannot overflow it).
+
+    Returns (color (T,PIX,3), sem (T,PIX,S), depth, alpha,
+    lifted (N, sa) per-Gaussian sums [features | hit count]).
+    Forward-only — differentiate trace via backend='xla'.
+    Requires bin_splats(..., align=K)."""
+    s = sp.semantics.shape[-1]
+    d = 7 + 3 + s
+    if d + ((-d) % 8) > DOUT:
+        raise ValueError(f"sem_dim {s} too large for pallas trace; "
+                         f"use RasterConfig(backend='xla')")
+    sa = sem_aug_tiles.shape[-1]
+    if sa > DOUT:
+        raise ValueError(f"traced feature dim {sa - 1} needs {sa} "
+                         f"row lanes > DOUT={DOUT}; use "
+                         f"RasterConfig(backend='xla')")
+    n_out = 3 + s + 1
+    feat = _pack_impl(sp.mean2d, sp.conic, sp.opacity, sp.color,
+                      sp.semantics, sp.depth, binning.point_list)
+    num_tiles = grid_x * grid_y
+    outc = n_out + 2
+    n_inst = feat.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PIX, sa), lambda t, s_, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PIX, outc), lambda t, s_, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
+            pltpu.VMEM((2, K, DOUT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # zeros input aliased to the rows output (operand index 4 counts
+    # the two scalar-prefetch operands) — see _bwd_kernel docstring
+    out, rows = pl.pallas_call(
+        partial(_trace_kernel, grid_x=grid_x, n_out=n_out, sa=sa),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, PIX, outc), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        input_output_aliases={4: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(binning.tile_start, binning.tile_end, feat, sem_aug_tiles,
+      jnp.zeros((n_inst, DOUT), jnp.float32))
+
+    # instance rows -> per-Gaussian sums (deterministic segment-sum,
+    # sentinel/padding rows masked — same scheme as the backward)
+    gid = binning.point_list
+    n_gauss = sp.mean2d.shape[0]
+    gt = rows[:-K, :sa]
+    ok = gid >= 0
+    lifted = jax.ops.segment_sum(
+        jnp.where(ok[:, None], gt, 0.0),
+        jnp.where(ok, gid, n_gauss),
+        num_segments=n_gauss + 1)[:n_gauss]
+
+    t_final = out[:, :, n_out]
+    color = out[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
+    sem = out[:, :, 3:3 + s]
+    depth = out[:, :, 3 + s]
+    return color, sem, depth, 1.0 - t_final, lifted
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _blend_core(grid_x, grid_y, n_out, mean2d, conic, opacity, color,
                 semantics, depth, gid, starts, ends, perm):

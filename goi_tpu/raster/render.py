@@ -99,15 +99,20 @@ def _blend_stage(sp, binning, cam: Camera, bg_color,
     preprocess + binning for its embedded color render."""
     if config.backend == "pallas":
         from goi_tpu.raster.pallas_blend import blend_tiles_pallas
-        color_t, sem_t, depth_t, alpha_t = blend_tiles_pallas(
+        tiles = blend_tiles_pallas(
             sp, binning, jnp.asarray(bg_color, jnp.float32),
             grid_x=grid_x, grid_y=grid_y)
     else:
-        color_t, sem_t, depth_t, alpha_t = blend_tiles(
+        tiles = blend_tiles(
             sp, binning, jnp.asarray(bg_color, jnp.float32),
             grid_x=grid_x, grid_y=grid_y,
             tile_cap=config.tile_cap, chunk=config.chunk)
+    return _assemble_out(tiles, sp, binning, cam, grid_x, grid_y)
 
+
+def _assemble_out(tiles, sp, binning, cam: Camera, grid_x: int,
+                  grid_y: int):
+    color_t, sem_t, depth_t, alpha_t = tiles
     h, w = cam.height, cam.width
     return {
         "render": tiles_to_image(color_t, grid_x, grid_y, h, w),
@@ -318,6 +323,32 @@ def trace(
     # ONE preprocess + binning serves both the trace walk and the
     # embedded color render below
     binning = _bin_for_backend(sp, config, grid_x, grid_y)
+
+    if config.backend == "pallas":
+        # fused blend + trace kernel: the trailing ones channel (zeroed
+        # outside the image by image_to_tiles's padding) is the hit
+        # counter, so pixel validity needs no separate mask
+        from goi_tpu.raster.pallas_blend import trace_tiles_pallas
+        aug = jnp.concatenate(
+            [img_sem.astype(jnp.float32),
+             jnp.ones((1, cam.height, cam.width), jnp.float32)], axis=0)
+        aug_tiles = image_to_tiles(aug, grid_x, grid_y)  # (T,256,S+1)
+        *tiles, lifted = trace_tiles_pallas(
+            sp, binning, aug_tiles, jnp.asarray(bg_color, jnp.float32),
+            grid_x=grid_x, grid_y=grid_y)
+        out = _assemble_out(tuple(tiles), sp, binning, cam,
+                            grid_x, grid_y)
+        return {
+            "render": out["render"],
+            "gaussian_semantics": lifted[:, :S],
+            # reference counts one hit per channel (see docstring);
+            # counts ride the ones channel as f32 (exact below 2^24)
+            "num_gsem": lifted[:, S].astype(jnp.int32) * S,
+            # informational on this path (no per-tile cap)
+            "max_tile_depth": jnp.max(binning.tile_end
+                                      - binning.tile_start),
+            "num_slots": binning.num_slots,
+        }
 
     sem_tiles = image_to_tiles(img_sem, grid_x, grid_y)  # (T, 256, S)
     # Pixel validity (tile padding outside the image must not contribute).

@@ -75,3 +75,29 @@ def test_trace_matches_oracle():
     np.testing.assert_array_equal(np.asarray(out["num_gsem"]), exp_cnt)
     np.testing.assert_allclose(np.asarray(out["gaussian_semantics"]),
                                exp_sem, rtol=1e-4, atol=1e-4)
+
+
+def test_trace_pallas_matches_oracle():
+    """Fused pallas blend+trace kernel vs the same numpy oracle, with a
+    non-tile-multiple frame so the hit-counter ones channel is
+    exercised against tile padding."""
+    scene = make_random_scene(n=80, seed=6)
+    cam = make_test_camera(width=28, height=24)
+    rng = np.random.default_rng(0)
+    img_sem = jnp.asarray(rng.normal(
+        0, 1, (10, 24, 28)).astype(np.float32))
+
+    cfg = RasterConfig(max_instances=1 << 14, backend="pallas")
+    out = trace(scene, cam, img_sem, jnp.zeros(3), cfg)
+    exp_sem, exp_cnt = oracle_trace(scene, cam, img_sem)
+
+    np.testing.assert_array_equal(np.asarray(out["num_gsem"]), exp_cnt)
+    np.testing.assert_allclose(np.asarray(out["gaussian_semantics"]),
+                               exp_sem, rtol=1e-4, atol=1e-4)
+
+    # embedded color render must match the plain render() output
+    from goi_tpu.raster import render
+    ref = render(scene, cam, jnp.zeros(3), cfg)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]),
+                               rtol=1e-5, atol=1e-5)
