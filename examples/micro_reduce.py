@@ -1,0 +1,144 @@
+"""Microbenchmark: instance->Gaussian grad-reduction primitives at scale.
+
+At 1M Gaussians / ~2M binned instances the reduction dominates the
+backward (183 of 255 ms measured). This harness times each candidate
+primitive in isolation on the real chip so the design choice in
+pallas_blend._reduce_instance_grads is measured, not guessed:
+
+  gather_full    random row gather (M, 128) -> (M, 128)
+  gather_24      random row gather of pre-compacted (M, 24) rows
+  slice_compact  (M+K, 128)[:-K, :24] slice-copy alone
+  scatter_seg    segment_sum scatter into n bins (current 'scatter')
+  sorted_seg     sorted-key segment_sum (current 'sorted', no gather)
+  cumsum_red     cumsum + boundary-diff sorted reduction
+  blocksum       block matmul partial sums (MXU) + small scatter
+
+Run: python examples/micro_reduce.py [--m 2000000] [--n 1000000]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=24)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    m, n, d, iters = args.m, args.n, args.d, args.iters
+    rng = np.random.default_rng(0)
+    K = 128
+    g_full = jnp.asarray(rng.normal(0, 1, (m + K, 128)).astype(np.float32))
+    g_24 = jnp.asarray(rng.normal(0, 1, (m, d)).astype(np.float32))
+    # expansion-order keys: monotone gids, avg m/n instances per gaussian
+    gid_sorted = np.sort(rng.integers(0, n, m)).astype(np.int32)
+    # kernel-order (tile-sorted) keys: a permutation of the same stream
+    perm = rng.permutation(m).astype(np.int32)
+    gid_kernel = gid_sorted[perm]
+    inv = np.empty(m, np.int32)
+    inv[perm] = np.arange(m, dtype=np.int32)
+    gid_s = jnp.asarray(gid_sorted)
+    gid_k = jnp.asarray(gid_kernel)
+    pos = jnp.asarray(inv)          # stream_pos: kernel slot of sorted row
+    del inv, perm, gid_sorted, gid_kernel
+
+    def timed(fn, *xs):
+        def many(xs):
+            def it(i, acc):
+                ys = jax.tree.map(
+                    lambda x: (x + i.astype(x.dtype) * 0
+                               if jnp.issubdtype(x.dtype, jnp.floating)
+                               else x), xs)
+                return acc + fn(*ys)
+            return jax.lax.fori_loop(0, iters, it, 0.0)
+
+        step = jax.jit(many)
+        jax.block_until_ready(step(xs))
+        t0 = time.time()
+        jax.block_until_ready(step(xs))
+        return (time.time() - t0) / iters * 1000.0
+
+    out = {"m": m, "n": n, "d": d}
+
+    # 1) random full-width row gather
+    def gather_full(g):
+        rows = g.at[pos].get(mode="promise_in_bounds")
+        return jnp.sum(rows[:, :d])
+    out["gather_full_ms"] = round(timed(gather_full, g_full), 2)
+
+    # 2) random gather of compact rows
+    def gather_24(g):
+        rows = g.at[pos].get(mode="promise_in_bounds")
+        return jnp.sum(rows)
+    out["gather_24_ms"] = round(timed(gather_24, g_24), 2)
+
+    # 3) the slice-compact copy alone
+    def slice_compact(g):
+        return jnp.sum(g[:-K, :d] * 1.000001)
+    out["slice_compact_ms"] = round(timed(slice_compact, g_full), 2)
+
+    # 4) scatter segment-sum (kernel order, random keys)
+    def scatter_seg(g):
+        acc = jax.ops.segment_sum(g, gid_k, num_segments=n)
+        return jnp.sum(acc)
+    out["scatter_seg_ms"] = round(timed(scatter_seg, g_24), 2)
+
+    # 5) sorted segment-sum (rows already in expansion order)
+    def sorted_seg(g):
+        acc = jax.ops.segment_sum(g, gid_s, num_segments=n,
+                                  indices_are_sorted=True)
+        return jnp.sum(acc)
+    out["sorted_seg_ms"] = round(timed(sorted_seg, g_24), 2)
+
+    # 6) cumsum + boundary gather (sorted keys)
+    # seg_sum[g] = cs[last_row_of_g] - cs[last_row_of_(g-1)]
+    last = jnp.zeros(n, jnp.int32).at[gid_s].max(
+        jnp.arange(m, dtype=jnp.int32) + 1)   # 1-based end index per gid
+    def cumsum_red(g):
+        cs = jnp.cumsum(g, axis=0)
+        cs = jnp.concatenate([jnp.zeros((1, d), g.dtype), cs], axis=0)
+        acc = cs.at[last].get(mode="promise_in_bounds") - \
+            cs.at[jnp.maximum(last - 0, 0) * 0 + jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), last[:-1]])].get(
+                    mode="promise_in_bounds")
+        return jnp.sum(acc)
+    out["cumsum_red_ms"] = round(timed(cumsum_red, g_24), 2)
+
+    # 7) block partial sums on the MXU + small sorted segment-sum.
+    # Rows in expansion order; within a 512-row block every segment is
+    # contiguous, so per-block per-segment sums = S @ rows with S the
+    # (u, 512) one-hot selection built from key equality; blocks emit
+    # (first_gid..last_gid) partials; cross-block overlaps resolved by a
+    # final sorted segment-sum over (n_blocks * u) rows... simplified:
+    # emit per-block CUMSUM boundary trick instead — here we just time
+    # the in-block reduction (local keys) to bound the approach.
+    B = 512
+    mb = (m // B) * B
+    gloc = jnp.asarray(rng.normal(0, 1, (mb // B, B, d)).astype(np.float32))
+    keyb = gid_s[:mb].reshape(-1, B)
+    def blocksum(g):
+        # one-hot (B,B) lower-shift selection: sum rows with equal key
+        # via matmul against equality matrix of local key ranks
+        k = keyb - keyb[:, :1]                       # local 0-based
+        sel = (k[:, None, :] == jnp.arange(B)[None, :, None]).astype(
+            jnp.float32)                             # (nb, B, B)
+        part = jnp.einsum("bij,bjd->bid", sel, g)    # MXU batched
+        return jnp.sum(part)
+    out["blocksum_ms"] = round(timed(blocksum, gloc), 2)
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
