@@ -21,8 +21,8 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--reduce", default="scatter",
-                    choices=["scatter", "sorted"])
+    ap.add_argument("--reduce", default="auto",
+                    choices=["scatter", "sorted", "cumsum", "auto"])
     args = ap.parse_args()
 
     from goi_tpu.utils.cache import enable_compile_cache

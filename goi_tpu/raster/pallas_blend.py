@@ -153,6 +153,76 @@ def _reduce_instance_grads_sorted(g, perm, n_gauss, s_dim):
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
 
+CUMSUM_BLOCK = 512   # rows per triangular-matmul prefix block
+
+
+def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
+    """Prefix-sum alternative for LARGE instance counts: gather the
+    row-major instance grads into expansion-stream order (as the
+    'sorted' reduce does), then replace the segmented reduce with a
+    two-level EXCLUSIVE prefix sum — per-block strictly-lower-triangular
+    matmuls on the MXU plus a tiny cross-block offset cumsum — and read
+    each Gaussian's sum as the difference of the prefix at its two
+    expansion boundaries (consecutive Gaussians share a boundary, so it
+    is ONE sorted (n+1)-row gather).
+
+    Why: XLA segment-sum scatter-adds are row-latency-bound (~20-100
+    ns/row) and degrade superlinearly with size; the prefix-sum chain is
+    bandwidth/MXU-bound. Measured on-chip (examples/micro_reduce.py) at
+    2M instances / 1M Gaussians: scatter 204 ms, sorted segment-sum
+    155 ms, this chain 28.5 ms (+14 ms for the expansion-order row
+    gather both sorted paths pay). Below ~500k instances the fixed
+    stages lose to the direct scatter — RasterConfig(reduce='auto')
+    picks the side by the static budget.
+
+    perm = (stream_pos, stream_gid, bounds): stream_pos as in the
+    sorted reduce (2^30 sentinel rows are zeroed); bounds (n_gauss+1,)
+    are the expansion-stream segment boundaries — cumsum of the raw
+    per-Gaussian rect counts, clamped to the stream length, so culled
+    instances sum zeros in place and truncated tails fall out of every
+    segment. Like every reduction here it is deterministic — the
+    replacement for the CUDA backward's atomicAdd
+    (ref:cuda_rasterizer/backward.cu:565-621); summation ORDER differs
+    from the scatter path (blocked prefix vs segment accumulation), so
+    results agree to fp32 rounding, not bitwise. The boundary
+    DIFFERENCE of two large running prefixes additionally puts absolute
+    noise ~ eps * prefix magnitude on tiny per-Gaussian sums (~1e-3 abs
+    on O(10) grads at 250k instances) — the same error class (and
+    typically smaller scale) as the CUDA reference's fp32 atomicAdd
+    accumulation, and still deterministic."""
+    stream_pos, _, bounds = perm
+    d = 7 + 3 + s_dim
+    n_rows = g.shape[0]                       # n_binned + K
+    m = stream_pos.shape[0]
+    ok = stream_pos < (n_rows - K)
+    idx = jnp.where(ok, stream_pos, 0)
+    rows = g.at[idx].get(mode="promise_in_bounds")      # (m, DOUT)
+    rows = jnp.where(ok[:, None], rows, 0.0)
+    nb = -(-m // CUMSUM_BLOCK)
+    rows = jnp.pad(rows, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
+    xb = rows.reshape(nb, CUMSUM_BLOCK, DOUT)
+    r = jnp.arange(CUMSUM_BLOCK)
+    tri = (r[:, None] > r[None, :]).astype(jnp.float32)
+    inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                       preferred_element_type=jnp.float32)
+    tot = inner[:, -1, :] + xb[:, -1, :]                # block sums
+    offs = jnp.concatenate([jnp.zeros((1, DOUT), jnp.float32),
+                            jnp.cumsum(tot, axis=0)])
+    # flat exclusive prefix lookup: cs[p] = offs[p//B] + inner[p//B, p%B];
+    # one zero block covers p == nb*B
+    inner_flat = jnp.concatenate(
+        [inner, jnp.zeros((1, CUMSUM_BLOCK, DOUT), jnp.float32)]
+    ).reshape(-1, DOUT)
+    p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
+    cs = offs.at[p // CUMSUM_BLOCK].get(
+        mode="promise_in_bounds", indices_are_sorted=True) + \
+        inner_flat.at[p].get(
+            mode="promise_in_bounds", indices_are_sorted=True)
+    acc = cs[1:] - cs[:-1]                              # (n_gauss, DOUT)
+    return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
+
+
 def pack_features(sp: Splats, binning: Binning) -> jax.Array:
     return _pack_impl(sp.mean2d, sp.conic, sp.opacity, sp.color,
                       sp.semantics, sp.depth, binning.point_list)
@@ -741,7 +811,10 @@ def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
     # rows never covered by a tile segment hold uninitialized memory;
     # both reductions mask them out (sentinel gids / sentinel
     # stream_pos), so no instance-scale rowmask pass is needed
-    if perm:
+    if len(perm) == 3:
+        dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+            _reduce_instance_grads_cumsum(dfeat, perm, n_gauss, s_dim)
+    elif perm:
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_instance_grads_sorted(dfeat, perm, n_gauss, s_dim)
     else:
@@ -755,10 +828,12 @@ _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
 def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
-                       *, grid_x: int, grid_y: int):
+                       *, grid_x: int, grid_y: int,
+                       reduce: str = "scatter"):
     """Drop-in replacement for blend_tiles (XLA path): returns
     (color (T,256,3), sem (T,256,S), depth (T,256), alpha (T,256)).
-    Requires bin_splats(..., align=K)."""
+    Requires bin_splats(..., align=K); reduce='sorted'/'cumsum'
+    additionally need bin_splats(..., export_perm=True)."""
     s = sp.semantics.shape[-1]
     d = 7 + 3 + s
     if d + ((-d) % 8) > DOUT:
@@ -769,6 +844,16 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
     n_out = 3 + s + 1
     perm = (() if binning.stream_pos is None
             else (binning.stream_pos, binning.stream_gid))
+    if perm and reduce == "cumsum":
+        # expansion-stream segment boundaries for the prefix-sum
+        # reduce: cumsum of the raw per-Gaussian rect counts (matches
+        # binning._expand_instances' offsets), clamped to the stream
+        counts = jax.lax.stop_gradient(
+            sp.tiles_touched).astype(jnp.int32)
+        bounds = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+        perm = perm + (jnp.minimum(
+            bounds, binning.stream_pos.shape[0]),)
     raw = _blend_core(grid_x, grid_y, n_out, sp.mean2d, sp.conic,
                       sp.opacity, sp.color, sp.semantics, sp.depth,
                       binning.point_list,

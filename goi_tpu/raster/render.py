@@ -62,9 +62,15 @@ class RasterConfig:
     # instance->Gaussian gradient reduction strategy (pallas backend):
     # 'scatter' = one segment-sum scatter-add keyed by tile-sorted gids;
     # 'sorted' = gather grads to expansion-stream order (binning exports
-    # the sort permutation) + sorted-key segment-sum. Same math, both
-    # deterministic; which is faster is a hardware-measured tradeoff.
-    reduce: str = "scatter"
+    # the sort permutation) + sorted-key segment-sum;
+    # 'cumsum' = expansion-order gather + two-level MXU prefix sum +
+    # boundary-difference (see pallas_blend._reduce_instance_grads_cumsum
+    # — ~6x faster than 'scatter' at >= 1M instances, slower below
+    # ~500k);
+    # 'auto' = 'cumsum' when the static instance budget crosses
+    # AUTO_CUMSUM_MIN, else 'scatter' (the measured crossover).
+    # Same math, all deterministic.
+    reduce: str = "auto"
     # exact ellipse/tile overlap cull in binning (output-exact; see
     # binning._expand_instances). False = raw rect expansion, the CUDA
     # reference's exact instance stream (debug/parity escape hatch).
@@ -73,6 +79,22 @@ class RasterConfig:
 
 def _grid(cam: Camera):
     return (cam.width + TILE - 1) // TILE, (cam.height + TILE - 1) // TILE
+
+
+# measured scatter/cumsum crossover (examples/micro_reduce.py on v5e):
+# the direct scatter wins at 254k instances (6.6 vs ~10 ms), the prefix
+# chain wins at 2M (43 vs 204 ms)
+AUTO_CUMSUM_MIN = 1 << 19
+
+
+def _effective_reduce(config: RasterConfig) -> str:
+    """Resolve reduce='auto' against the STATIC instance budget (so the
+    choice is made at trace time and both binning and the blend agree)."""
+    if config.reduce != "auto":
+        return config.reduce
+    n_binned = (config.max_binned if config.max_binned is not None
+                else config.max_instances)
+    return "cumsum" if n_binned >= AUTO_CUMSUM_MIN else "scatter"
 
 
 def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
@@ -87,7 +109,8 @@ def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
         grid_x=grid_x, grid_y=grid_y,
         max_instances=config.max_instances, align=align,
         export_perm=(config.backend == "pallas"
-                     and config.reduce == "sorted"),
+                     and _effective_reduce(config) in
+                     ("sorted", "cumsum")),
         cull=config.cull,
         binned_slots=(config.max_binned if align else None))
 
@@ -101,7 +124,8 @@ def _blend_stage(sp, binning, cam: Camera, bg_color,
         from goi_tpu.raster.pallas_blend import blend_tiles_pallas
         tiles = blend_tiles_pallas(
             sp, binning, jnp.asarray(bg_color, jnp.float32),
-            grid_x=grid_x, grid_y=grid_y)
+            grid_x=grid_x, grid_y=grid_y,
+            reduce=_effective_reduce(config))
     else:
         tiles = blend_tiles(
             sp, binning, jnp.asarray(bg_color, jnp.float32),
@@ -247,7 +271,7 @@ def render(
                                 mean2d_offset=mean2d_offset)
     if config.backend not in ("xla", "pallas"):
         raise ValueError(f"unknown backend {config.backend!r}")
-    if config.reduce not in ("scatter", "sorted"):
+    if config.reduce not in ("scatter", "sorted", "cumsum", "auto"):
         raise ValueError(f"unknown reduce {config.reduce!r}")
 
     grid_x, grid_y = _grid(cam)

@@ -127,3 +127,94 @@ def test_sorted_reduce_overflow_masks_dropped_instances():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_cumsum_reduce_matches_scatter_reduce():
+    """RasterConfig(reduce='cumsum') — expansion-order gather +
+    two-level MXU prefix sum + boundary difference — must produce the
+    same gradients as the default scatter reduction (to fp32 rounding:
+    the summation order differs)."""
+    import jax
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=400, seed=23)
+    cam = make_test_camera(width=64, height=48)
+    bg = jnp.zeros(3)
+
+    def grads(reduce):
+        cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
+                           reduce=reduce)
+
+        def loss(params):
+            out = render(scene.with_params(params), cam, bg, cfg)
+            return (jnp.sum(out["render"] ** 2)
+                    + jnp.sum(out["semantics"] ** 2)
+                    + jnp.sum(out["depth"]) + jnp.sum(out["alpha"]))
+
+        return jax.grad(loss)(scene.params())
+
+    ga = grads("scatter")
+    gb = grads("cumsum")
+    # fp32 prefix-difference cancellation: the chain subtracts two
+    # large running prefixes, so tiny per-Gaussian sums carry absolute
+    # noise ~ eps * prefix magnitude (same error class as the CUDA
+    # reference's fp32 atomicAdd accumulation)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(gb))
+
+
+def test_cumsum_reduce_overflow_masks_dropped_instances():
+    """Budget overflow (truncated expansion + clamp-dropped aligned
+    slots) must not leak uninitialized rows into the prefix chain: the
+    clamped boundaries make truncated tails fall out of every segment
+    and sentinel stream_pos rows are zeroed."""
+    import jax
+
+    from goi_tpu.raster import RasterConfig, render
+    from tests.conftest import make_random_scene, make_test_camera
+
+    scene = make_random_scene(n=300, seed=24, spread=0.3)
+    cam = make_test_camera(width=48, height=32)
+    bg = jnp.zeros(3)
+
+    def grads(reduce):
+        cfg = RasterConfig(max_instances=1 << 10, backend="pallas",
+                           reduce=reduce)
+
+        def loss(params):
+            out = render(scene.with_params(params), cam, bg, cfg)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["alpha"])
+
+        return jax.grad(loss)(scene.params())
+
+    ga = grads("scatter")
+    gb = grads("cumsum")
+    # fp32 prefix-difference cancellation: the chain subtracts two
+    # large running prefixes, so tiny per-Gaussian sums carry absolute
+    # noise ~ eps * prefix magnitude (same error class as the CUDA
+    # reference's fp32 atomicAdd accumulation)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_auto_reduce_resolves_by_budget():
+    """reduce='auto' picks scatter below the measured crossover and
+    cumsum above it, keyed on the ALIGNED budget when decoupled."""
+    from goi_tpu.raster.render import (AUTO_CUMSUM_MIN, RasterConfig,
+                                       _effective_reduce)
+
+    small = RasterConfig(max_instances=1 << 14, backend="pallas")
+    assert _effective_reduce(small) == "scatter"
+    big = RasterConfig(max_instances=AUTO_CUMSUM_MIN, backend="pallas")
+    assert _effective_reduce(big) == "cumsum"
+    decoupled = RasterConfig(max_instances=AUTO_CUMSUM_MIN * 4,
+                             max_binned=1 << 14, backend="pallas")
+    assert _effective_reduce(decoupled) == "scatter"
+    explicit = RasterConfig(max_instances=1 << 24, reduce="sorted")
+    assert _effective_reduce(explicit) == "sorted"
