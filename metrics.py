@@ -35,6 +35,12 @@ def evaluate(model_paths):
                 continue
             names = sorted(os.listdir(rdir))
             psnrs, ssims, lpipss = [], [], []
+            # protocol default vgg (ref:metrics.py:63 net_type='vgg');
+            # degrade to alex when only alex weights are shipped, and
+            # record which backbone produced the number
+            from goi_tpu.eval.lpips import _load_weights
+            lpips_net = ("vgg" if _load_weights("vgg") is not None
+                         else "alex")
             for fname in names:
                 def load(p):
                     with Image.open(p) as im:
@@ -45,13 +51,14 @@ def evaluate(model_paths):
                 g = load(os.path.join(gdir, fname))
                 psnrs.append(float(psnr(r, g)))
                 ssims.append(float(ssim(r, g)))
-                lp = lpips_or_none(r, g)
+                lp = lpips_or_none(r, g, net=lpips_net)
                 if lp is not None:
                     lpipss.append(float(lp))
             full[method] = {
                 "PSNR": float(np.mean(psnrs)),
                 "SSIM": float(np.mean(ssims)),
                 "LPIPS": float(np.mean(lpipss)) if lpipss else None,
+                "LPIPS_net": lpips_net if lpipss else None,
             }
             per_view[method] = {
                 "PSNR": dict(zip(names, psnrs)),
