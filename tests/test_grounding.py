@@ -503,3 +503,38 @@ def test_prep_text_short_caption_unchanged():
     ids_np, attn, pos, pad_mask, ids = det._prep_text("the red chair")
     assert ids == tok.encode("the red chair .")
     assert pad_mask[0, len(ids):].all()
+
+
+def test_official_checkpoint_shape_contract():
+    """The committed names+shapes manifest of the official
+    groundingdino_swint_ogc.pth architecture (derived from the VENDORED
+    torch model at full geometry by tests/golden/
+    derive_gdino_manifest.py) must cover grounding_param_shapes(
+    GDINO_SWINT) 1:1 — loading the real checkpoint
+    (ref:guidance/res_model.py:72-87) is a tested contract, the same
+    discipline as tests/test_sam_jax.py's SAM manifest check."""
+    import json
+    import os
+
+    from goi_tpu.query.grounding import (GDINO_SWINT,
+                                         grounding_param_shapes)
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "gdino_swint_manifest.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    ours = grounding_param_shapes(GDINO_SWINT)
+    missing = [k for k in ours if k not in manifest]
+    assert not missing, missing[:8]
+    for k, shp in ours.items():
+        assert list(shp) == manifest[k], (k, shp, manifest[k])
+    # manifest entries we deliberately don't load: fixed buffers the
+    # checkpoint rebuilds (relative position indices, BERT position
+    # ids), the unused BERT pooler, and the decoder's bbox_embed
+    # aliases of the top-level bbox_embed ModuleList
+    extra = set(manifest) - set(ours)
+    for k in sorted(extra):
+        assert ("relative_position_index" in k
+                or "position_ids" in k
+                or ".pooler." in k
+                or "transformer.decoder.bbox_embed" in k), k
