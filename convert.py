@@ -60,7 +60,7 @@ def main(argv=None):
          "--input_path", f"{src}/distorted/sparse/0",
          "--output_path", src, "--output_type", "COLMAP"])
 
-    # move sparse/* -> sparse/0 (ref:convert.py:76-90)
+    # move sparse/* -> sparse/0 (ref:convert.py:70-77)
     sparse = os.path.join(src, "sparse")
     os.makedirs(os.path.join(sparse, "0"), exist_ok=True)
     for f in os.listdir(sparse):
@@ -68,6 +68,22 @@ def main(argv=None):
             continue
         shutil.move(os.path.join(sparse, f),
                     os.path.join(sparse, "0", f))
+
+    if args.resize:
+        # images_2/4/8 at 50/25/12.5% (ref:convert.py:79-111 shells out
+        # to ImageMagick mogrify; PIL here — no external binary)
+        from PIL import Image
+        imgdir = os.path.join(src, "images")
+        for div in (2, 4, 8):
+            os.makedirs(os.path.join(src, f"images_{div}"),
+                        exist_ok=True)
+        for f in os.listdir(imgdir):
+            with Image.open(os.path.join(imgdir, f)) as im:
+                for div in (2, 4, 8):
+                    w, h = im.width // div, im.height // div
+                    im.resize((max(w, 1), max(h, 1)),
+                              Image.LANCZOS).save(
+                        os.path.join(src, f"images_{div}", f))
     print("Done.")
 
 
