@@ -32,6 +32,70 @@ from goi_tpu.semantic.codebook import SemanticDecoder
 from goi_tpu.utils.image import clip_color, compute_mask_ratio
 
 
+from functools import partial
+
+from goi_tpu.utils.image import turbo_colormap
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode", "branch",
+                                   "scaling_modifier", "sim_thresh",
+                                   "log_scale"))
+def _frame_device(scene, cam, bg, gmask, decoder, lut, text, osh_w,
+                  osh_b, *, cfg, mode, branch, scaling_modifier,
+                  sim_thresh, log_scale):
+    """One viewer frame fully ON DEVICE (render + similarity +
+    turbo-heat composite in a single XLA program). The eager per-op
+    version of this path pays one host dispatch per op — tens of ms of
+    pure host overhead per frame at interactive sizes (the reference
+    GUI's per-frame hot loop, ref:gui/main.py:549-604); compiled it is
+    one dispatch. Math is identical to QuerySession.render_view's
+    original eager composition (compute_similarity + clip_color)."""
+    out = render(scene, cam, bg, cfg,
+                 scaling_modifier=scaling_modifier,
+                 gaussian_mask=gmask)
+    if mode == "depth":
+        d = out["depth"][0]
+        d = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-9)
+        return jnp.stack([d] * 3, -1)
+    if mode == "alpha":
+        return jnp.stack([out["alpha"][0]] * 3, -1)
+    img = out["render"].transpose(1, 2, 0)
+    if branch == "none":
+        return img
+    s, h, w = out["semantics"].shape
+    dec = decoder(out["semantics"].reshape(s, -1).T)
+    if lut is not None:
+        code = jnp.argmax(jax.nn.softmax(dec * 10.0, axis=-1), axis=-1)
+        feat = lut[code]
+    else:
+        feat = dec
+    normed = feat / jnp.maximum(
+        jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+    if branch == "osh":
+        sim = jax.nn.sigmoid(
+            osh_predict(OSHState(weight=osh_w, bias=osh_b), normed))
+        thresh = 0.5
+    else:
+        sim = ape_similarity(normed, text, log_scale=log_scale)
+        thresh = sim_thresh
+    sim = jnp.where(sim < thresh, 0.0, sim)
+    bg_mask = sim == 0
+    # clip_color(thresh=0.7, coloring=True) inlined (jnp throughout)
+    if branch == "osh":
+        rel = jnp.clip(sim + 0.2, 0.1, 0.9)
+    else:
+        rel = jnp.clip((sim - 0.7 - 0.05) / (sim.max() - 0.7), 0.0, 1.0)
+    heat = turbo_colormap(rel)
+    heat = jnp.where(bg_mask[:, None], 1.0, heat)
+    heat = jnp.clip(heat.reshape(h, w, 3), 0, 1)
+    if branch == "osh":
+        alpha = jnp.where(bg_mask, 1.0, 0.0).reshape(h, w, 1)
+    else:
+        alpha = 1.0
+    opa = alpha * 0.4
+    return jnp.clip(heat * opa + img * (1 - opa), 0, 1)
+
+
 class QuerySession:
     def __init__(self, scene: GaussianScene, decoder: SemanticDecoder,
                  lut: Optional[jax.Array],
@@ -92,33 +156,30 @@ class QuerySession:
                     overlay: bool = True,
                     scaling_modifier: float = 1.0) -> np.ndarray:
         """One viewer frame: render + optional similarity heat overlay
-        (ref:gui/main.py:549-604). Returns (H, W, 3) float."""
+        (ref:gui/main.py:549-604). Returns (H, W, 3) float.
+
+        The whole frame runs as ONE jitted device program
+        (_frame_device) — at interactive sizes the previous eager
+        composition paid per-op host dispatch (tens of ms/frame)."""
         gmask = None
         if self.gs_index is not None:
             gmask = jnp.asarray(self.gs_index)
-        out = render(self.scene, cam, self.bg, self.raster_cfg,
-                     scaling_modifier=scaling_modifier,
-                     gaussian_mask=gmask)
-        if mode == "depth":
-            d = out["depth"][0]
-            d = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-9)
-            return np.asarray(jnp.stack([d] * 3, -1))
-        if mode == "alpha":
-            return np.asarray(jnp.stack([out["alpha"][0]] * 3, -1))
-        img = np.asarray(out["render"].transpose(1, 2, 0))
-        if overlay and (self.text_tokens is not None or
-                        self.res_finetuned):
-            s, h, w = out["semantics"].shape
-            sim = self.compute_similarity(
-                out["semantics"].reshape(s, -1).T)
-            bg_mask = np.asarray(sim) == 0
-            heat, alpha = clip_color(sim, jnp.asarray(bg_mask), h, w,
-                                     thresh=0.7,
-                                     res_finetuned=self.res_finetuned,
-                                     coloring=True)
-            opa = alpha * 0.4
-            img = np.clip(heat * opa + img * (1 - opa), 0, 1)
-        return img
+        branch = "none"
+        text = osh_w = osh_b = None
+        if mode == "image" and overlay:
+            if self.res_finetuned and self.osh is not None:
+                branch = "osh"
+                osh_w, osh_b = self.osh.weight, self.osh.bias
+            elif self.text_tokens is not None:
+                branch = "ape"
+                text = self.text_tokens
+        img = _frame_device(
+            self.scene, cam, self.bg, gmask, self.decoder, self.lut,
+            text, osh_w, osh_b, cfg=self.raster_cfg, mode=mode,
+            branch=branch, scaling_modifier=float(scaling_modifier),
+            sim_thresh=self.sim_thresh,
+            log_scale=float(self.log_scale))
+        return np.asarray(img)
 
     # ---- OSH fine-tune (ref:gui/main.py:1673-1763) ----
     def finetune_with_res(self, cam: Camera, res_mask: np.ndarray,
