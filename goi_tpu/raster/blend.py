@@ -141,9 +141,15 @@ def blend_tiles(
         w, q, active, p_incl = (ck["w"], ck["q"], ck["active"],
                                 ck["p_incl"])
 
-        acc_c = acc_c + jnp.einsum("tpk,tkc->tpc", w, col)
-        acc_s = acc_s + jnp.einsum("tpk,tks->tps", w, sem)
-        acc_d = acc_d + jnp.einsum("tpk,tk->tp", w, dep)
+        # Precision.HIGHEST: DEFAULT truncates both fp32 operands to
+        # bf16 per MXU pass on TPU (~0.4% relative color error; the
+        # CUDA reference accumulates in full fp32)
+        hi = jax.lax.Precision.HIGHEST
+        acc_c = acc_c + jnp.einsum("tpk,tkc->tpc", w, col,
+                                   precision=hi)
+        acc_s = acc_s + jnp.einsum("tpk,tks->tps", w, sem,
+                                   precision=hi)
+        acc_d = acc_d + jnp.einsum("tpk,tk->tp", w, dep, precision=hi)
         t_cur = t_cur * jnp.prod(jnp.where(active, q, 1.0), axis=-1)
         t_all = p_incl[:, :, -1]
         return (t_all, t_cur, acc_c, acc_s, acc_d), None

@@ -61,7 +61,8 @@ def _interpret() -> bool:
 DOUT = 128  # row-major instance-grad rows (128-lane DMA alignment)
 
 
-def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid):
+def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid,
+               with_gid: bool = False):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
     Sentinel instances (gid < 0) become all-zero columns (opacity 0 =>
     alpha 0 < 1/255 => skipped).
@@ -73,19 +74,32 @@ def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid):
     only read (D_pad, K)-shaped chunks of a feature-major matrix (a
     row-major (M, 24) layout is not chunk-sliceable, and padding rows
     to 128 lanes measured SLOWER overall — the 4x pack/cumsum traffic
-    outweighs the transposes it saves)."""
+    outweighs the transposes it saves).
+
+    with_gid=True (chunked layout) appends the Gaussian id itself as
+    one more feature ROW (f32-exact below 2^24): the backward/trace
+    kernels copy it into their per-instance output rows, so the
+    instance->Gaussian reduction gets its keys transported BY the
+    kernel instead of via an instance-scale index gather."""
     s_dim = semantics.shape[-1]
+    n = opacity.shape[0]
     d = 7 + 3 + s_dim
-    d_pad = d + ((-d) % 8)  # Mosaic HBM sublane tiling
-    per_gauss = jnp.concatenate([
+    d_tot = d + (1 if with_gid else 0)
+    d_pad = d_tot + ((-d_tot) % 8)  # Mosaic HBM sublane tiling
+    parts = [
         mean2d,                          # 2
         conic,                           # 3
         opacity[:, None],                # 1
         color,                           # 3
         semantics,                       # S
         depth[:, None],                  # 1
-        jnp.zeros((opacity.shape[0], d_pad - d), opacity.dtype),
-    ], axis=1)                           # (N_gauss, d_pad)
+    ]
+    if with_gid:
+        # the Gaussian's own id as a feature (f32-exact below 2^24) —
+        # rides the same per-Gaussian row gather
+        parts.append(jnp.arange(n, dtype=jnp.float32)[:, None])
+    parts.append(jnp.zeros((n, d_pad - d_tot), opacity.dtype))
+    per_gauss = jnp.concatenate(parts, axis=1)       # (N_gauss, d_pad)
     ok = gid >= 0
     inst = per_gauss[jnp.maximum(gid, 0)]            # (N_inst, d_pad)
     inst = jnp.where(ok[:, None], inst, 0.0)
@@ -203,7 +217,13 @@ def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
     xb = rows.reshape(nb, CUMSUM_BLOCK, DOUT)
     r = jnp.arange(CUMSUM_BLOCK)
     tri = (r[:, None] > r[None, :]).astype(jnp.float32)
+    # Precision.HIGHEST: at DEFAULT the MXU truncates the fp32 instance
+    # grads to bf16 per pass (~0.2-0.4% relative error — far above the
+    # fp32-rounding claim below). The 0/1 tri matrix is bf16-exact, so
+    # HIGHEST (3-pass decomposition of xb) restores true fp32 products;
+    # measured cost at 2.24M instances: ~1 ms extra on a 28 ms chain.
     inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     tot = inner[:, -1, :] + xb[:, -1, :]                # block sums
     offs = jnp.concatenate([jnp.zeros((1, DOUT), jnp.float32),
@@ -255,9 +275,14 @@ def _tri():
     return (r <= c).astype(jnp.float32)
 
 
-def _chunk_common(f, px, py, off, end, t_carry):
+def _chunk_common(f, px, py, off, start, end, t_carry):
     """Shared forward recompute for a chunk: returns everything the
     fwd/bwd passes need. f: (D, K) chunk.
+
+    Lanes outside [start, end) are masked invalid: the chunked binning
+    layout walks K-aligned windows from (start//K)*K, so a tile's first
+    chunk can carry a neighbor tile's trailing instances. (The aligned
+    layout has start % K == 0, making the start test a no-op there.)
 
     t_carry is the ALL-VALID transmittance (product of q over every
     valid instance so far, blended or not): it is monotone
@@ -277,7 +302,8 @@ def _chunk_common(f, px, py, off, end, t_carry):
     raw = opa * g_exp
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + off
-    valid = (col < end) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    valid = (col >= start) & (col < end) & (power <= 0.0) \
+        & (alpha >= ALPHA_MIN)
     q = jnp.where(valid, 1.0 - alpha, 1.0)
     # inclusive cumulative product along lanes in LOG space: one
     # log + one (PIX, K) @ (K, K) upper-triangular matmul (MXU) + one
@@ -290,9 +316,16 @@ def _chunk_common(f, px, py, off, end, t_carry):
     # measure-zero configurations — the same documented deviation
     # class as fp32 association (PARITY.md deviation 3); all oracle
     # parity tests hold at their 2e-5 tolerances.
+    # Precision.HIGHEST: at DEFAULT the MXU truncates log q (range
+    # [-4.6, 0]) to bf16 per pass — up to ~0.4% relative error on the
+    # transmittance, measured ~5e-3 rel on rendered pixels at 1M scale
+    # vs the fp32 XLA path. The tri matrix is 0/1 (bf16-exact), so the
+    # multi-pass decomposition restores true fp32 cumsums; the kernels
+    # are DMA/VPU-bound, so the extra MXU passes are ~free.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     cp = jnp.exp(jax.lax.dot_general(
         jnp.log(q), _tri(), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32))
     cp_excl = jnp.where(lane < 1, 1.0, pltpu.roll(cp, 1, axis=1))
     p_excl = t_carry * cp_excl
@@ -316,13 +349,17 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
-    n_chunks = pl.cdiv(end - start, K)
+    # floor-walk: K-aligned window containing start (chunked layout
+    # has unaligned starts; aligned layout's start is a K multiple so
+    # walk == start there)
+    walk = (start // K) * K
+    n_chunks = pl.cdiv(end - walk, K)
     px, py = _pixel_coords(t, grid_x)
 
     # double-buffered chunk reads: prefetch chunk k+1 while computing
     # chunk k so the HBM DMA latency hides behind the VPU/MXU math
     def in_dma(k, slot):
-        off = pl.multiple_of(start + k * K, K)
+        off = pl.multiple_of(walk + k * K, K)
         return pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
             sem.at[slot])
@@ -347,11 +384,14 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
 
         in_dma(k, slot).wait()
         f = scratch[slot]
-        off = pl.multiple_of(start + k * K, K)
-        ck = _chunk_common(f, px, py, off, end, t_all)
+        off = pl.multiple_of(walk + k * K, K)
+        ck = _chunk_common(f, px, py, off, start, end, t_all)
         fout = f[6:6 + n_out, :]              # (n_out, K)
+        # HIGHEST: fp32 accumulation of color/sem/depth (both operands
+        # general fp32; DEFAULT would truncate to bf16 — see _chunk_common)
         acc = acc + jax.lax.dot_general(
             ck["w"], fout, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
@@ -372,20 +412,32 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
         (PIX, out_ref.shape[-1] - n_out - 1), jnp.float32)
 
 
-def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
-                zeros_ref, dfeat_ref, scratch, dscratch, tscratch,
-                sem_in, sem_out, *, grid_x, n_out):
+def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
+                g_ref, zeros_ref, dfeat_ref, scratch, dscratch,
+                tscratch, sem_in, sem_out, *, grid_x, n_out,
+                with_gid):
     """zeros_ref is aliased to dfeat_ref (input_output_aliases): XLA
     materializes the all-zero instance-grad buffer at full HBM
     bandwidth BEFORE the kernel, so slots past each tile\'s early-exit
     point need no chunked zero-fill DMAs here (a tile segment can hold
     thousands of post-termination slots; writing them 64 KB at a time
-    from the kernel was latency-bound)."""
+    from the kernel was latency-bound).
+
+    Output rows are indexed by (tile, chunk): row slice for chunk k is
+    (cbase[t] + k) * K. The aligned layout passes cbase = start // K,
+    which reproduces its stream-offset writes exactly; the chunked
+    layout passes disjoint per-tile chunk prefixes (boundary stream
+    chunks are shared between tiles there, so stream-offset writes
+    would race). with_gid: the feature matrix carries each instance's
+    Gaussian id as row 6+n_out; it is copied into the output rows so
+    the reduction needs no index gather."""
     del zeros_ref
     d_rows = dscratch.shape[0]            # the d real feature rows
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
+    walk = (start // K) * K
+    cb = cbase_ref[t]
     px, py = _pixel_coords(t, grid_x)
 
     o = out_res_ref[0]                         # (PIX, OUTC)
@@ -396,16 +448,16 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
     total = jnp.sum(gc * o[:, :n_out], axis=1, keepdims=True) \
         + g_t * t_fin                          # (PIX, 1)
 
-    n_chunks = pl.cdiv(end - start, K)
+    n_chunks = pl.cdiv(end - walk, K)
 
     def in_dma(k, slot):
-        off = pl.multiple_of(start + k * K, K)
+        off = pl.multiple_of(walk + k * K, K)
         return pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
             sem_in.at[slot])
 
     def out_dma(k, slot):
-        off = pl.multiple_of(start + k * K, K)
+        off = pl.multiple_of((cb + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], dfeat_ref.at[pl.ds(off, K)],
             sem_out.at[slot])
@@ -416,10 +468,11 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
     # the padding lanes of both row-major output tiles are constant
     # zero — write them once, outside the chunk loop
-    tscratch[0, :, d_rows:] = jnp.zeros(
-        (K, tscratch.shape[2] - d_rows), jnp.float32)
-    tscratch[1, :, d_rows:] = jnp.zeros(
-        (K, tscratch.shape[2] - d_rows), jnp.float32)
+    if tscratch.shape[2] > d_rows:   # narrow chunked rows have none
+        tscratch[0, :, d_rows:] = jnp.zeros(
+            (K, tscratch.shape[2] - d_rows), jnp.float32)
+        tscratch[1, :, d_rows:] = jnp.zeros(
+            (K, tscratch.shape[2] - d_rows), jnp.float32)
     # d_pad alignment rows (between 6+n_out and d_rows) likewise
     dscratch[6 + n_out:, :] = jnp.zeros(
         (d_rows - 6 - n_out, K), jnp.float32)
@@ -434,22 +487,27 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
 
         in_dma(k, slot).wait()
         f = scratch[slot]
-        off = pl.multiple_of(start + k * K, K)
-        ck = _chunk_common(f, px, py, off, end, t_all)
+        off = pl.multiple_of(walk + k * K, K)
+        ck = _chunk_common(f, px, py, off, start, end, t_all)
         w, q, active = ck["w"], ck["q"], ck["active"]
         fout = f[6:6 + n_out, :]
 
-        # f_i . g per (pixel, instance)
+        # f_i . g per (pixel, instance).  All backward matmuls run at
+        # Precision.HIGHEST: DEFAULT truncates fp32 operands to bf16 on
+        # the MXU (~0.4% relative grad error; the CUDA reference is
+        # fully fp32). The kernels are DMA/VPU-bound so this is ~free.
+        hi = jax.lax.Precision.HIGHEST
         fdotg = jax.lax.dot_general(
-            gc, fout, (((1,), (0,)), ((), ())),
+            gc, fout, (((1,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)          # (PIX, K)
         # color/sem/depth grads: (n_out, K)
         dfo = jax.lax.dot_general(
-            gc, w, (((0,), (0,)), ((), ())),
+            gc, w, (((0,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)
         wf = w * fdotg
         prefix_incl = prefix + jnp.dot(
-            wf, _tri(), preferred_element_type=jnp.float32)
+            wf, _tri(), precision=hi,
+            preferred_element_type=jnp.float32)
         r_suffix = total - prefix_incl
         t_prev = ck["p_excl"]
         dalpha = jnp.where(active, t_prev * fdotg - r_suffix / q, 0.0)
@@ -473,7 +531,7 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         # nondeterministic anyway). ref:cuda_rasterizer/backward.cu:
         # 598-621.
         mom = jax.lax.dot_general(
-            _p6(), dpow, (((0,), (0,)), ((), ())),
+            _p6(), dpow, (((0,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)          # (6, K)
         m0, m1, m2 = mom[0:1, :], mom[1:2, :], mom[2:3, :]
         m3, m4, m5 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
@@ -497,6 +555,12 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         # grad is m0 / opa (sentinel columns have opa == 0 -> 0)
         dscratch[5:6, :] = jnp.where(opa > 0.0, m0 / opa, 0.0)
         dscratch[6:6 + n_out, :] = dfo
+        if with_gid:
+            # transport the instance's Gaussian id (feat row 6+n_out)
+            # into the output row so the reduction has its keys without
+            # an instance-scale index gather
+            dscratch[6 + n_out:7 + n_out, :] = \
+                f[6 + n_out:7 + n_out, :]
 
         # double-buffered writes: make sure the DMA that last read this
         # tscratch slot (chunk k-2) is done before overwriting it
@@ -539,9 +603,9 @@ def _bwd_kernel(start_ref, end_ref, feat_ref, out_res_ref, g_ref,
         out_dma(k_done - 1, jax.lax.rem(k_done - 1, 2)).wait()
 
 
-def _trace_kernel(start_ref, end_ref, feat_ref, semt_ref, zeros_ref,
-                  out_ref, rows_ref, scratch, tscratch, sem_in,
-                  sem_out, *, grid_x, n_out, sa):
+def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
+                  zeros_ref, out_ref, rows_ref, scratch, tscratch,
+                  sem_in, sem_out, *, grid_x, n_out, sa, with_gid):
     """Fused forward blend + 2D->3D feature lifting (traceCUDA,
     ref:cuda_rasterizer/forward.cu:422-583): ONE chunk walk produces
     both the blended tile image and, per instance, the sum over the
@@ -556,18 +620,20 @@ def _trace_kernel(start_ref, end_ref, feat_ref, semt_ref, zeros_ref,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
-    n_chunks = pl.cdiv(end - start, K)
+    walk = (start // K) * K
+    cb = cbase_ref[t]
+    n_chunks = pl.cdiv(end - walk, K)
     px, py = _pixel_coords(t, grid_x)
     semt = semt_ref[0]                                # (PIX, sa)
 
     def in_dma(k, slot):
-        off = pl.multiple_of(start + k * K, K)
+        off = pl.multiple_of(walk + k * K, K)
         return pltpu.make_async_copy(
             feat_ref.at[:, pl.ds(off, K)], scratch.at[slot],
             sem_in.at[slot])
 
     def out_dma(k, slot):
-        off = pl.multiple_of(start + k * K, K)
+        off = pl.multiple_of((cb + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], rows_ref.at[pl.ds(off, K)],
             sem_out.at[slot])
@@ -596,17 +662,22 @@ def _trace_kernel(start_ref, end_ref, feat_ref, semt_ref, zeros_ref,
 
         in_dma(k, slot).wait()
         f = scratch[slot]
-        off = pl.multiple_of(start + k * K, K)
-        ck = _chunk_common(f, px, py, off, end, t_all)
+        off = pl.multiple_of(walk + k * K, K)
+        ck = _chunk_common(f, px, py, off, start, end, t_all)
         fout = f[6:6 + n_out, :]
+        # HIGHEST on both trace matmuls: fp32 accumulation (hit is 0/1
+        # bf16-exact, but semt/w/fout are general fp32 — DEFAULT would
+        # truncate them per MXU pass; see _chunk_common)
         acc = acc + jax.lax.dot_general(
             ck["w"], fout, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         # blended AND alpha > 0.005 (strict, ref:forward.cu:512)
         hit = (ck["active"] & (ck["alpha"] > 0.005)) \
             .astype(jnp.float32)                      # (PIX, K)
         rows = jax.lax.dot_general(
             hit, semt, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)       # (K, sa)
 
         @pl.when(k >= 2)
@@ -614,6 +685,10 @@ def _trace_kernel(start_ref, end_ref, feat_ref, semt_ref, zeros_ref,
             out_dma(k - 2, slot).wait()
 
         tscratch[slot, :, :sa] = rows
+        if with_gid:
+            # transport each lane's Gaussian id (feat row 6+n_out) into
+            # row lane sa — the reduction's keys, no index gather
+            tscratch[slot, :, sa:sa + 1] = f[6 + n_out:7 + n_out, :].T
         out_dma(k, slot).start()
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
@@ -658,67 +733,86 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
     Forward-only — differentiate trace via backend='xla'.
     Requires bin_splats(..., align=K)."""
     s = sp.semantics.shape[-1]
-    d = 7 + 3 + s
+    chunked = binning.chunk_base is not None
+    d = 7 + 3 + s + (1 if chunked else 0)
     if d + ((-d) % 8) > DOUT:
         raise ValueError(f"sem_dim {s} too large for pallas trace; "
                          f"use RasterConfig(backend='xla')")
     sa = sem_aug_tiles.shape[-1]
-    if sa > DOUT:
-        raise ValueError(f"traced feature dim {sa - 1} needs {sa} "
-                         f"row lanes > DOUT={DOUT}; use "
-                         f"RasterConfig(backend='xla')")
+    if sa + (1 if chunked else 0) > DOUT:
+        raise ValueError(f"traced feature dim {sa - 1} needs "
+                         f"{sa + (1 if chunked else 0)} row lanes > "
+                         f"DOUT={DOUT}; use RasterConfig(backend="
+                         f"'xla')")
     n_out = 3 + s + 1
     feat = _pack_impl(sp.mean2d, sp.conic, sp.opacity, sp.color,
-                      sp.semantics, sp.depth, binning.point_list)
+                      sp.semantics, sp.depth, binning.point_list,
+                      with_gid=chunked)
     num_tiles = grid_x * grid_y
     outc = n_out + 2
     n_inst = feat.shape[1]
+    if chunked:
+        n_rows = ((n_inst - K) // K + num_tiles + 1) * K
+        cbase = binning.chunk_base
+        # narrow rows: lifted features + the transported key, 8-padded
+        dout_tr = -(-(sa + 1) // 8) * 8
+    else:
+        n_rows = n_inst
+        cbase = binning.tile_start // K
+        dout_tr = DOUT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIX, sa), lambda t, s_, e: (t, 0, 0),
+            pl.BlockSpec((1, PIX, sa), lambda t, s_, e, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, PIX, outc), lambda t, s_, e: (t, 0, 0),
+            pl.BlockSpec((1, PIX, outc), lambda t, s_, e, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((2, K, DOUT), jnp.float32),
+            pltpu.VMEM((2, K, dout_tr), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # zeros input aliased to the rows output (operand index 4 counts
-    # the two scalar-prefetch operands) — see _bwd_kernel docstring
+    # zeros input aliased to the rows output (operand index 5 counts
+    # the three scalar-prefetch operands) — see _bwd_kernel docstring
     out, rows = pl.pallas_call(
-        partial(_trace_kernel, grid_x=grid_x, n_out=n_out, sa=sa),
+        partial(_trace_kernel, grid_x=grid_x, n_out=n_out, sa=sa,
+                with_gid=chunked),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, PIX, outc), jnp.float32),
-            jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, dout_tr), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-        input_output_aliases={4: 1},
+        input_output_aliases={5: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(binning.tile_start, binning.tile_end, feat, sem_aug_tiles,
-      jnp.zeros((n_inst, DOUT), jnp.float32))
+    )(binning.tile_start, binning.tile_end, cbase, feat,
+      sem_aug_tiles, jnp.zeros((n_rows, dout_tr), jnp.float32))
 
-    # instance rows -> per-Gaussian sums (deterministic segment-sum,
-    # sentinel/padding rows masked — same scheme as the backward)
-    gid = binning.point_list
+    # instance rows -> per-Gaussian sums (deterministic segment-sum)
     n_gauss = sp.mean2d.shape[0]
-    gt = rows[:-K, :sa]
-    ok = gid >= 0
-    lifted = jax.ops.segment_sum(
-        jnp.where(ok[:, None], gt, 0.0),
-        jnp.where(ok, gid, n_gauss),
-        num_segments=n_gauss + 1)[:n_gauss]
+    if chunked:
+        # keys transported by the kernel in lane sa; prezeroed rows
+        # (key 0, zero values) are harmless
+        keys = jnp.clip(rows[:, sa].astype(jnp.int32), 0, n_gauss - 1)
+        lifted = jax.ops.segment_sum(rows[:, :sa], keys,
+                                     num_segments=n_gauss)
+    else:
+        gid = binning.point_list
+        gt = rows[:-K, :sa]
+        ok = gid >= 0
+        lifted = jax.ops.segment_sum(
+            jnp.where(ok[:, None], gt, 0.0),
+            jnp.where(ok, gid, n_gauss),
+            num_segments=n_gauss + 1)[:n_gauss]
 
     t_final = out[:, :, n_out]
     color = out[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
@@ -727,26 +821,49 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
     return color, sem, depth, 1.0 - t_final, lifted
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _blend_core(grid_x, grid_y, n_out, mean2d, conic, opacity, color,
-                semantics, depth, gid, starts, ends, perm):
+def _reduce_transported(rows, n_gauss, s_dim):
+    """Chunked-layout reduction: per-instance grad rows carry their own
+    Gaussian id (column 6+n_out = d, transported by the bwd kernel), so
+    the instance->Gaussian reduction is ONE segment-sum with zero index
+    gathers. Prezeroed rows (early-exit / unowned chunk slack) carry
+    key 0 and all-zero values — summing them is harmless; boundary
+    lanes masked by the kernel likewise have zero grads under their
+    (real) neighbor-tile key. Deterministic (XLA TPU scatters are
+    atomics-free)."""
+    d = 7 + 3 + s_dim
+    keys = jnp.clip(rows[:, d].astype(jnp.int32), 0, n_gauss - 1)
+    acc = jax.ops.segment_sum(rows[:, :d], keys,
+                              num_segments=n_gauss)
+    return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _blend_core(grid_x, grid_y, n_out, chunked, mean2d, conic, opacity,
+                color, semantics, depth, gid, starts, ends, cbase,
+                perm):
     """pack + tiled blend under ONE custom VJP. Merging them (rather
     than giving pack its own VJP) frees the backward to hand
     _reduce_instance_grads ROW-major instance grads even though the
     forward feat matrix is feature-major — a custom_vjp cotangent must
     match its primal's shape, so with a separate pack VJP the bwd
     kernel would be forced to emit feature-major grads and the
-    reduction would start with a ~3 ms instance-scale transpose."""
-    out, _ = _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic,
-                             opacity, color, semantics, depth, gid,
-                             starts, ends, perm)
+    reduction would start with a ~3 ms instance-scale transpose.
+
+    chunked=True selects the round-3 layout: floor-walk segments,
+    per-(tile,chunk) backward rows sized by cbase's chunk prefix, and
+    the transported-key reduction."""
+    out, _ = _blend_core_fwd(grid_x, grid_y, n_out, chunked, mean2d,
+                             conic, opacity, color, semantics, depth,
+                             gid, starts, ends, cbase, perm)
     return out
 
 
-def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
-                    color, semantics, depth, gid, starts, ends, perm):
+def _blend_core_fwd(grid_x, grid_y, n_out, chunked, mean2d, conic,
+                    opacity, color, semantics, depth, gid, starts,
+                    ends, cbase, perm):
     feat = _pack_impl(mean2d, conic, opacity, color, semantics, depth,
-                      gid)
+                      gid, with_gid=chunked)
     num_tiles = grid_x * grid_y
     outc = n_out + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -768,23 +885,35 @@ def _blend_core_fwd(grid_x, grid_y, n_out, mean2d, conic, opacity,
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, ends, feat)
-    return out, (feat, starts, ends, out, gid, perm,
+    return out, (feat, starts, ends, cbase, out, gid, perm,
                  mean2d.shape[0], semantics.shape[-1])
 
 
-def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
-    feat, starts, ends, out, gid, perm, n_gauss, s_dim = res
+def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
+    feat, starts, ends, cbase, out, gid, perm, n_gauss, s_dim = res
     num_tiles = grid_x * grid_y
     outc = n_out + 2
     n_inst = feat.shape[1]
+    if chunked:
+        # per-(tile, chunk) rows: every tile owns ceil(span/K) slices.
+        # Rows are NARROW (d_pad lanes = the real grad columns + the
+        # transported key, 8-padded) instead of DOUT=128 — the
+        # downstream segment-sum is instance-scale memory traffic, and
+        # 128-lane rows were 5x waste.
+        n_rows = (n_inst - K) // K + num_tiles + 1
+        n_rows *= K
+        dout = feat.shape[0]
+    else:
+        n_rows = n_inst
+        dout = DOUT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIX, outc), lambda t, s, e: (t, 0, 0),
+            pl.BlockSpec((1, PIX, outc), lambda t, s, e, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, outc), lambda t, s, e: (t, 0, 0),
+            pl.BlockSpec((1, PIX, outc), lambda t, s, e, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -792,26 +921,30 @@ def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
         scratch_shapes=[
             pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
             pltpu.VMEM((feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((2, K, DOUT), jnp.float32),
+            pltpu.VMEM((2, K, dout), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # the zeros input is aliased to the dfeat output (index 5 counts
-    # the two scalar-prefetch operands): see _bwd_kernel docstring
+    # the zeros input is aliased to the dfeat output (index 6 counts
+    # the three scalar-prefetch operands): see _bwd_kernel docstring
     dfeat = pl.pallas_call(
-        partial(_bwd_kernel, grid_x=grid_x, n_out=n_out),
-        out_shape=jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32),
+        partial(_bwd_kernel, grid_x=grid_x, n_out=n_out,
+                with_gid=chunked),
+        out_shape=jax.ShapeDtypeStruct((n_rows, dout), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, feat, out, g,
-      jnp.zeros((n_inst, DOUT), jnp.float32))
-    # rows never covered by a tile segment hold uninitialized memory;
-    # both reductions mask them out (sentinel gids / sentinel
-    # stream_pos), so no instance-scale rowmask pass is needed
-    if len(perm) == 3:
+    )(starts, ends, cbase, feat, out, g,
+      jnp.zeros((n_rows, dout), jnp.float32))
+    # rows never covered by a tile segment hold prezeroed memory; the
+    # reductions mask (aligned: sentinel gids / sentinel stream_pos) or
+    # harmlessly absorb (chunked: zero rows) them
+    if chunked:
+        dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+            _reduce_transported(dfeat, n_gauss, s_dim)
+    elif len(perm) == 3:
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_instance_grads_cumsum(dfeat, perm, n_gauss, s_dim)
     elif perm:
@@ -821,7 +954,7 @@ def _blend_core_bwd(grid_x, grid_y, n_out, res, g):
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_instance_grads(dfeat, gid, n_gauss, s_dim)
     return (dmean2d, dconic, dopa, dcolor, dsem, ddepth,
-            None, None, None, jax.tree.map(lambda _: None, perm))
+            None, None, None, None, jax.tree.map(lambda _: None, perm))
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -832,19 +965,42 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
                        reduce: str = "scatter"):
     """Drop-in replacement for blend_tiles (XLA path): returns
     (color (T,256,3), sem (T,256,S), depth (T,256), alpha (T,256)).
-    Requires bin_splats(..., align=K); reduce='sorted'/'cumsum'
-    additionally need bin_splats(..., export_perm=True)."""
+
+    Aligned layout (bin_splats(..., align=K)): reduce is one of
+    'scatter'/'sorted'/'cumsum' ('sorted'/'cumsum' additionally need
+    bin_splats(..., export_perm=True)).
+    Chunked layout (bin_splats_chunked, binning.chunk_base set): the
+    reduction always uses kernel-transported keys; reduce must be
+    'scatter'."""
     s = sp.semantics.shape[-1]
     d = 7 + 3 + s
-    if d + ((-d) % 8) > DOUT:
+    chunked = binning.chunk_base is not None
+    d_tot = d + (1 if chunked else 0)
+    if d_tot + ((-d_tot) % 8) > DOUT:
         raise ValueError(
-            f"sem_dim {s} needs {d + ((-d) % 8)} grad lanes > DOUT="
-            f"{DOUT} (the pallas backward's row-major grad tile); use "
-            f"RasterConfig(backend='xla') for sem_dim > {DOUT - 10}")
+            f"sem_dim {s} needs {d_tot + ((-d_tot) % 8)} grad lanes > "
+            f"DOUT={DOUT} (the pallas backward's row-major grad tile); "
+            f"use RasterConfig(backend='xla') for larger sem_dim")
     n_out = 3 + s + 1
-    perm = (() if binning.stream_pos is None
-            else (binning.stream_pos, binning.stream_gid))
-    if perm and reduce == "cumsum":
+    if reduce not in ("scatter", "sorted", "cumsum"):
+        raise ValueError(f"unknown reduce {reduce!r} (resolve 'auto' "
+                         f"before calling blend_tiles_pallas)")
+    if chunked and reduce != "scatter":
+        raise ValueError(
+            f"chunked binning reduces via kernel-transported keys; "
+            f"reduce={reduce!r} is an aligned-layout mode")
+    # the requested reduce decides the strategy; the binning layout must
+    # match it (a perm-exporting binning does NOT silently upgrade
+    # reduce='scatter', and 'sorted'/'cumsum' without the exported
+    # permutation is an error, not a silent scatter downgrade)
+    perm = ()
+    if reduce in ("sorted", "cumsum"):
+        if binning.stream_pos is None:
+            raise ValueError(
+                f"reduce={reduce!r} needs the sort permutation: call "
+                f"bin_splats(..., align=K, export_perm=True)")
+        perm = (binning.stream_pos, binning.stream_gid)
+    if reduce == "cumsum":
         # expansion-stream segment boundaries for the prefix-sum
         # reduce: cumsum of the raw per-Gaussian rect counts (matches
         # binning._expand_instances' offsets), clamped to the stream
@@ -854,10 +1010,13 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
         perm = perm + (jnp.minimum(
             bounds, binning.stream_pos.shape[0]),)
-    raw = _blend_core(grid_x, grid_y, n_out, sp.mean2d, sp.conic,
-                      sp.opacity, sp.color, sp.semantics, sp.depth,
-                      binning.point_list,
-                      binning.tile_start, binning.tile_end, perm)
+    cbase = (binning.chunk_base if chunked
+             else binning.tile_start // K)
+    raw = _blend_core(grid_x, grid_y, n_out, chunked, sp.mean2d,
+                      sp.conic, sp.opacity, sp.color, sp.semantics,
+                      sp.depth, binning.point_list,
+                      binning.tile_start, binning.tile_end, cbase,
+                      perm)
     t_final = raw[:, :, n_out]
     color = raw[:, :, :3] + t_final[:, :, None] * bg[None, None, :]
     sem = raw[:, :, 3:3 + s]

@@ -67,14 +67,31 @@ class RasterConfig:
     # boundary-difference (see pallas_blend._reduce_instance_grads_cumsum
     # — ~6x faster than 'scatter' at >= 1M instances, slower below
     # ~500k);
-    # 'auto' = 'cumsum' when the static instance budget crosses
-    # AUTO_CUMSUM_MIN, else 'scatter' (the measured crossover).
-    # Same math, all deterministic.
+    # 'auto' = 'cumsum' when the static budgets cross the measured
+    # crossover (see _effective_reduce), else 'scatter'.
+    # Same math, all deterministic, all full-fp32 (the cumsum chain's
+    # MXU prefix matmuls run at Precision.HIGHEST); the cumsum path's
+    # boundary differences carry absolute noise ~ eps * running-prefix
+    # magnitude on tiny per-Gaussian grads (PARITY.md deviation 3) —
+    # the same error class as the reference's fp32 atomicAdd ordering.
+    # Memory: 'sorted'/'cumsum' also make binning export the sort
+    # permutation (two extra max_instances-sized int32 arrays).
     reduce: str = "auto"
     # exact ellipse/tile overlap cull in binning (output-exact; see
     # binning._expand_instances). False = raw rect expansion, the CUDA
     # reference's exact instance stream (debug/parity escape hatch).
     cull: bool = True
+    # pallas backend instance layout:
+    # 'chunked' (round 3, default) = ONE contiguous tile-sorted stream
+    #   (bin_splats_chunked): no realign scatter, no separate aligned
+    #   buffer (max_binned is ignored), floor-walk kernels, gradient
+    #   reduction via kernel-transported keys. The budget must cover
+    #   sum(max(tiles_touched, 1)) — one forced sentinel slot per
+    #   zero-count Gaussian (the block-diagonal MXU expansion gather's
+    #   density precondition).
+    # 'aligned' (round 2) = K-aligned per-tile segments with the
+    #   realign scatter and the scatter/sorted/cumsum reduce family.
+    layout: str = "chunked"
 
 
 def _grid(cam: Camera):
@@ -88,24 +105,48 @@ AUTO_CUMSUM_MIN = 1 << 19
 
 
 def _effective_reduce(config: RasterConfig) -> str:
-    """Resolve reduce='auto' against the STATIC instance budget (so the
-    choice is made at trace time and both binning and the blend agree)."""
+    """Resolve reduce='auto' against the STATIC budgets (so the choice
+    is made at trace time and both binning and the blend agree).
+
+    Cost model: the scatter's rows scale with the aligned buffer
+    (max_binned); the cumsum chain's gather + prefix run over the
+    EXPANSION budget (max_instances), at a measured ~5x per-row
+    advantage (examples/micro_reduce.py: 204 ms scatter vs 43 ms chain
+    at 2M rows of each). With decoupled budgets (small aligned buffer,
+    much larger expansion stream) the chain can lose even above the
+    crossover, so require chain rows < 5x scatter rows too."""
+    if config.backend == "pallas" and config.layout == "chunked":
+        # the chunked layout's reduction keys are kernel-transported;
+        # there is only the one ('scatter'-shaped) strategy
+        return "scatter"
     if config.reduce != "auto":
         return config.reduce
     n_binned = (config.max_binned if config.max_binned is not None
                 else config.max_instances)
-    return "cumsum" if n_binned >= AUTO_CUMSUM_MIN else "scatter"
+    if n_binned >= AUTO_CUMSUM_MIN and \
+            config.max_instances < 5 * n_binned:
+        return "cumsum"
+    return "scatter"
 
 
 def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
-    """bin_splats with the backend's layout (K-aligned segments + the
-    optional sort-permutation export for the pallas path)."""
-    align = 0
+    """bin_splats with the backend's layout (chunked stream or
+    K-aligned segments + the optional sort-permutation export for the
+    aligned pallas path)."""
+    sp_ng = jax.tree.map(jax.lax.stop_gradient, sp)
     if config.backend == "pallas":
         from goi_tpu.raster.pallas_blend import K as PALLAS_K
+        if config.layout == "chunked":
+            from goi_tpu.raster.binning import bin_splats_chunked
+            return bin_splats_chunked(
+                sp_ng, grid_x=grid_x, grid_y=grid_y,
+                max_instances=config.max_instances,
+                chunk_k=PALLAS_K, cull=config.cull)
         align = PALLAS_K
+    else:
+        align = 0
     return bin_splats(
-        jax.tree.map(jax.lax.stop_gradient, sp),
+        sp_ng,
         grid_x=grid_x, grid_y=grid_y,
         max_instances=config.max_instances, align=align,
         export_perm=(config.backend == "pallas"
@@ -189,12 +230,17 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
 
 def suggest_budgets(scene: GaussianScene, cams, *, margin: float = 1.5,
                     minimum: int = 1 << 15,
-                    align: int = 0) -> tuple:
+                    align: int = 0, layout: str = "chunked") -> tuple:
     """Size the two bin_splats buffers independently:
     returns (max_instances, max_binned) — the raw rect expansion demand
     and the post-cull K-aligned buffer demand, each with `margin`
     headroom and BUDGET_QUANTUM rounding. With align == 0 the second
-    equals the first (the XLA backend has no separate aligned buffer)."""
+    equals the first (the XLA backend has no separate aligned buffer).
+
+    layout='chunked': the budget must additionally cover one forced
+    sentinel slot per zero-count Gaussian (bin_splats_chunked's
+    expansion-density precondition); there is no separate aligned
+    buffer (the second return equals the first)."""
     if not isinstance(cams, (list, tuple)):
         cams = [cams]
 
@@ -203,7 +249,10 @@ def suggest_budgets(scene: GaussianScene, cams, *, margin: float = 1.5,
     @partial(jax.jit, static_argnames=("gx", "gy"))
     def raw_fn(scene, cam, *, gx, gy):
         del gx, gy
-        return jnp.sum(preprocess(scene, cam).tiles_touched)
+        counts = preprocess(scene, cam).tiles_touched
+        if layout == "chunked":
+            return jnp.sum(jnp.maximum(counts, 1))
+        return jnp.sum(counts)
 
     @partial(jax.jit, static_argnames=("gx", "gy", "cap"))
     def aligned_fn(scene, cam, *, gx, gy, cap):
@@ -219,7 +268,7 @@ def suggest_budgets(scene: GaussianScene, cams, *, margin: float = 1.5,
         gx, gy = _grid(cam)
         raw = int(raw_fn(scene, cam, gx=gx, gy=gy))
         worst_raw = max(worst_raw, raw)
-        if align:
+        if align and layout != "chunked":
             # the exact counter needs an expansion buffer >= raw;
             # quantum-round its size to bound re-jit churn
             cap = max((raw + q - 1) // q * q, q)
@@ -231,6 +280,8 @@ def suggest_budgets(scene: GaussianScene, cams, *, margin: float = 1.5,
         return (want + q - 1) // q * q
 
     mi = fit(worst_raw)
+    if layout == "chunked":
+        return mi, mi
     return mi, (fit(worst_aligned) if align else mi)
 
 
@@ -273,6 +324,13 @@ def render(
         raise ValueError(f"unknown backend {config.backend!r}")
     if config.reduce not in ("scatter", "sorted", "cumsum", "auto"):
         raise ValueError(f"unknown reduce {config.reduce!r}")
+    if config.layout not in ("chunked", "aligned"):
+        raise ValueError(f"unknown layout {config.layout!r}")
+    if (config.backend == "pallas" and config.layout == "chunked"
+            and config.reduce not in ("auto", "scatter")):
+        raise ValueError(
+            f"layout='chunked' reduces via kernel-transported keys; "
+            f"reduce={config.reduce!r} needs layout='aligned'")
 
     grid_x, grid_y = _grid(cam)
     sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,
@@ -395,9 +453,11 @@ def trace(
         ck = chunk_weights(sp, g, m, fx, fy, t_all, pix_ok=pix_ok)
         alpha, active, p_incl = ck["alpha"], ck["active"], ck["p_incl"]
         hit = active & (alpha > 0.005)                      # (T, 256, K)
-        # per-instance sums over the tile's pixels
+        # per-instance sums over the tile's pixels (HIGHEST: DEFAULT
+        # would truncate the lifted features to bf16 on the MXU)
         inst_sem = jnp.einsum("tpk,tps->tks", hit.astype(jnp.float32),
-                              sem_tiles)
+                              sem_tiles,
+                              precision=jax.lax.Precision.HIGHEST)
         inst_cnt = jnp.sum(hit, axis=1).astype(jnp.int32)   # (T, K)
         gau_sem = gau_sem.at[g.reshape(-1)].add(
             inst_sem.reshape(-1, S))

@@ -77,7 +77,7 @@ def test_sorted_reduce_matches_scatter_reduce():
 
     def grads(reduce):
         cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
-                           reduce=reduce)
+                           layout="aligned", reduce=reduce)
 
         def loss(params):
             out = render(scene.with_params(params), cam, bg, cfg)
@@ -114,7 +114,7 @@ def test_sorted_reduce_overflow_masks_dropped_instances():
     def grads(reduce):
         # deliberately small: forces aligned-overflow truncation
         cfg = RasterConfig(max_instances=1 << 10, backend="pallas",
-                           reduce=reduce)
+                           layout="aligned", reduce=reduce)
 
         def loss(params):
             out = render(scene.with_params(params), cam, bg, cfg)
@@ -145,7 +145,7 @@ def test_cumsum_reduce_matches_scatter_reduce():
 
     def grads(reduce):
         cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
-                           reduce=reduce)
+                           layout="aligned", reduce=reduce)
 
         def loss(params):
             out = render(scene.with_params(params), cam, bg, cfg)
@@ -184,7 +184,7 @@ def test_cumsum_reduce_overflow_masks_dropped_instances():
 
     def grads(reduce):
         cfg = RasterConfig(max_instances=1 << 10, backend="pallas",
-                           reduce=reduce)
+                           layout="aligned", reduce=reduce)
 
         def loss(params):
             out = render(scene.with_params(params), cam, bg, cfg)
@@ -209,12 +209,19 @@ def test_auto_reduce_resolves_by_budget():
     from goi_tpu.raster.render import (AUTO_CUMSUM_MIN, RasterConfig,
                                        _effective_reduce)
 
-    small = RasterConfig(max_instances=1 << 14, backend="pallas")
+    small = RasterConfig(max_instances=1 << 14, backend="pallas",
+                         layout="aligned")
     assert _effective_reduce(small) == "scatter"
-    big = RasterConfig(max_instances=AUTO_CUMSUM_MIN, backend="pallas")
+    big = RasterConfig(max_instances=AUTO_CUMSUM_MIN, backend="pallas",
+                       layout="aligned")
     assert _effective_reduce(big) == "cumsum"
     decoupled = RasterConfig(max_instances=AUTO_CUMSUM_MIN * 4,
-                             max_binned=1 << 14, backend="pallas")
+                             max_binned=1 << 14, backend="pallas",
+                             layout="aligned")
     assert _effective_reduce(decoupled) == "scatter"
-    explicit = RasterConfig(max_instances=1 << 24, reduce="sorted")
+    explicit = RasterConfig(max_instances=1 << 24, reduce="sorted",
+                            layout="aligned")
     assert _effective_reduce(explicit) == "sorted"
+    # chunked layout has exactly one (transported-key) strategy
+    chunked = RasterConfig(max_instances=1 << 24, backend="pallas")
+    assert _effective_reduce(chunked) == "scatter"
