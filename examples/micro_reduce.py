@@ -56,8 +56,10 @@ def main():
     def timed(fn, *xs):
         def many(xs):
             def it(i, acc):
+                # 1e-12 perturbation (NOT *0: constant-folds -> LICM
+                # hoists the body and the number measures 1 call/iters)
                 ys = jax.tree.map(
-                    lambda x: (x + i.astype(x.dtype) * 0
+                    lambda x: (x * (1.0 + i.astype(x.dtype) * 1e-12)
                                if jnp.issubdtype(x.dtype, jnp.floating)
                                else x), xs)
                 return acc + fn(*ys)

@@ -51,9 +51,14 @@ def main():
     sp = jax.tree.map(jax.lax.stop_gradient, sp)
 
     def timed(fn, *xs):
+        # roll the (leaf) inputs by the loop index so the timed body is
+        # iteration-dependent — otherwise XLA hoists the whole op out
+        # of the fori_loop and the number measures ONE call / iters
         def many(xs):
             def it(i, acc):
-                return acc + fn(*xs) + i.astype(jnp.float32) * 0
+                xi = jax.tree.map(
+                    lambda x: jnp.roll(x, i, axis=0), xs)
+                return acc + fn(*xi)
             return jax.lax.fori_loop(0, iters, it, 0.0)
 
         step = jax.jit(many)

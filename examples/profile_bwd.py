@@ -59,10 +59,13 @@ def main():
     iters = args.iters
 
     def timed(fn, *xs):
+        # 1e-12 perturbation (NOT *0, which constant-folds and lets
+        # LICM hoist the whole body out of the loop — the number then
+        # measures ONE call / iters)
         def many(xs):
             def it(i, acc):
                 ys = jax.tree.map(
-                    lambda x: (x * (1.0 + i.astype(x.dtype) * 0)
+                    lambda x: (x * (1.0 + i.astype(x.dtype) * 1e-12)
                                if jnp.issubdtype(x.dtype, jnp.floating)
                                else x), xs)
                 return acc + fn(*ys)

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reduce", default="auto",
                     choices=["scatter", "sorted", "cumsum", "auto"])
+    ap.add_argument("--layout", default="chunked",
+                    choices=["chunked", "aligned"])
     args = ap.parse_args()
 
     from goi_tpu.utils.cache import enable_compile_cache
@@ -33,7 +35,7 @@ def main():
     from goi_tpu.core.camera import Camera
     from goi_tpu.core.scene import GaussianScene
     from goi_tpu.raster import RasterConfig, render
-    from goi_tpu.raster.binning import bin_splats
+    from goi_tpu.raster.binning import bin_splats, bin_splats_chunked
     from goi_tpu.raster.pallas_blend import K, blend_tiles_pallas
     from goi_tpu.raster.preprocess import TILE, preprocess
     from goi_tpu.raster.render import suggest_budgets
@@ -53,9 +55,12 @@ def main():
             rng.normal(0, 0.3, (n, 10)).astype(np.float32)))
     cam = Camera.look_at([0.3, 0.4, -4.0], [0, 0, 0], [0, 1, 0],
                          fovx=0.9, fovy=0.9, width=width, height=height)
-    budget, binned = suggest_budgets(scene, cam, align=K, margin=1.0)
+    budget, binned = suggest_budgets(scene, cam, align=K, margin=1.0,
+                                     layout=args.layout)
     cfg = RasterConfig(max_instances=budget, max_binned=binned,
-                       backend="pallas", reduce=args.reduce)
+                       backend="pallas", layout=args.layout,
+                       reduce=(args.reduce if args.layout == "aligned"
+                               else "auto"))
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
     tgt_c = jnp.zeros((3, height, width))
@@ -84,21 +89,26 @@ def main():
         return sum(jnp.sum(v) for v in
                    (sp.mean2d, sp.conic, sp.color, sp.depth))
 
+    def _bin(sp):
+        if args.layout == "chunked":
+            return bin_splats_chunked(
+                jax.tree.map(jax.lax.stop_gradient, sp),
+                grid_x=grid_x, grid_y=grid_y, max_instances=budget,
+                chunk_k=K)
+        return bin_splats(jax.tree.map(jax.lax.stop_gradient, sp),
+                          grid_x=grid_x, grid_y=grid_y,
+                          max_instances=budget, align=K,
+                          binned_slots=binned)
+
     def pre_bin(p):
         sp = preprocess(scene.with_params(p), cam)
-        b = bin_splats(jax.tree.map(jax.lax.stop_gradient, sp),
-                       grid_x=grid_x, grid_y=grid_y,
-                       max_instances=budget, align=K,
-                       binned_slots=binned)
+        b = _bin(sp)
         return (jnp.sum(b.point_list) + jnp.sum(b.tile_start)).astype(
             jnp.float32) + jnp.sum(sp.mean2d)
 
     def fwd_full(p):
         sp = preprocess(scene.with_params(p), cam)
-        b = bin_splats(jax.tree.map(jax.lax.stop_gradient, sp),
-                       grid_x=grid_x, grid_y=grid_y,
-                       max_instances=budget, align=K,
-                       binned_slots=binned)
+        b = _bin(sp)
         c, s, d, a = blend_tiles_pallas(sp, b, jnp.zeros(3),
                                         grid_x=grid_x, grid_y=grid_y)
         return jnp.sum(c) + jnp.sum(s) + jnp.sum(d) + jnp.sum(a)
@@ -121,7 +131,7 @@ def main():
 
     table = {
         "config": {"n": n, "frame": [width, height], "budget": budget,
-                   "reduce": args.reduce},
+                   "reduce": args.reduce, "layout": args.layout},
         "stages_ms": {
             "preprocess": round(rows["preprocess_ms"], 3),
             "binning": round(rows["pre+bin_ms"] - rows["preprocess_ms"],
