@@ -1,14 +1,14 @@
 """Scale-realistic end-to-end training: 500k-Gaussian semantic
 distillation at 512x512 on the real chip (VERDICT r2 item 5).
 
-Pins the production-scale behavior nothing small can: the instance
-budget crosses AUTO_CUMSUM_MIN so reduce='auto' engages the MXU
-prefix-sum gradient reduction (pallas_blend._reduce_instance_grads_
-cumsum), the run starts with a deliberately undersized aligned buffer
-so the trainer's rebudget-on-overflow loop fires, and the end-to-end
-distill -> query mIoU bar (the test_semantic_miou_bar.py protocol at
-~400x the Gaussian count) certifies the cumsum-reduce numerics at the
-scale where 'auto' selects it.
+Pins the production-scale behavior nothing small can: the chunked
+layout's chain gradient reduction (sort-permutation inversion + MXU
+prefix sums) runs at the multi-million-instance budgets where it is
+the production default, the run starts with a deliberately undersized
+buffer so the trainer's rebudget-on-overflow loop fires, and the
+end-to-end distill -> query mIoU bar (the test_semantic_miou_bar.py
+protocol at ~400x the Gaussian count) certifies the chain-reduce
+numerics at that scale.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python examples/scale_train.py
 Also wrapped (env-gated) by tests/test_scale_training.py.
@@ -81,11 +81,11 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
     cfg = RasterConfig(max_instances=mi, max_binned=mb,
                        backend="pallas")
     if n_gauss >= 100_000:  # tiny smoke runs skip the scale premise
-        # chunked default: the transported-key reduce; budgets large
-        # enough that the legacy aligned layout would engage cumsum
+        # chunked default: the chain reduce; budgets large enough
+        # that the legacy aligned layout would engage cumsum too
         assert mb >= AUTO_CUMSUM_MIN, (
             f"scene too small for the production reduce regime ({mb})")
-        assert _effective_reduce(cfg) == "scatter", \
+        assert _effective_reduce(cfg) == "chain", \
             _effective_reduce(cfg)
 
     # ---- GT feature maps + masks (simplex-separated APE vectors) ----
@@ -109,8 +109,8 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
 
     # ---- distill a fresh field, starting UNDER-budgeted so the ------
     # trainer's rebudget-on-overflow loop must fire and re-jit
-    small = RasterConfig(max_instances=mi,
-                         max_binned=max(K * 64, mb // 2),
+    # (chunked layout: the instance budget is the single knob)
+    small = RasterConfig(max_instances=max(K * 512, mi // 2),
                          backend="pallas")
     fresh = gt_scene.replace(
         semantics=jnp.zeros_like(gt_scene.semantics))
@@ -140,7 +140,7 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
     result = {
         "n_gauss": n_gauss, "frame": [w, h], "iters": iters,
         "budget_expansion": int(mi), "budget_binned": int(mb),
-        "reduce": "cumsum (auto)",
+        "reduce": "chain (chunked default)",
         "started_binned": int(small.max_binned),
         "train_s": round(train_s, 1),
         "ms_per_iter": round(train_s / iters * 1000, 1),

@@ -67,6 +67,11 @@ class Binning:
     # gaps); kernels walk K-aligned windows from (start//K)*K and mask
     # lanes outside [start, end).
     chunk_base: Optional[jax.Array] = None   # (num_tiles,) int32
+    # chunked + export_perm: sort_slots[p] = EXPANSION index of the
+    # instance at sorted position p (the sort permutation, carried as a
+    # payload). The chain gradient reduction inverts it lazily in the
+    # backward to map expansion order -> backward row index.
+    sort_slots: Optional[jax.Array] = None   # (max_instances,) int32
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y"))
@@ -437,11 +442,13 @@ def _expand_chunked(sp: Splats, *, grid_x: int, grid_y: int,
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "max_instances",
-                                   "chunk_k", "cull", "use_mono"))
+                                   "chunk_k", "cull", "use_mono",
+                                   "export_perm"))
 def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
                        max_instances: int, chunk_k: int,
                        cull: bool = True,
-                       use_mono: Optional[bool] = None) -> Binning:
+                       use_mono: Optional[bool] = None,
+                       export_perm: bool = False) -> Binning:
     """Round-3 binning layout: ONE contiguous tile-sorted stream, no
     alignment gaps, no realign scatter (the round-2 realign cost ~21 ms
     at 2.46M instances — a per-element XLA sorted scatter plus LUT
@@ -467,8 +474,17 @@ def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         sp, grid_x=grid_x, grid_y=grid_y, n_inst=n_inst, cull=cull,
         use_mono=use_mono)
 
-    tile_sorted, _, gid = jax.lax.sort(
-        (tile, depth_bits, g_stream), num_keys=2, is_stable=True)
+    sort_slots = None
+    if export_perm:
+        # carry the expansion index as a payload (~2 ms at 2.4M): the
+        # chain reduce's permutation
+        slots = jnp.arange(n_inst, dtype=jnp.int32)
+        tile_sorted, _, gid, sort_slots = jax.lax.sort(
+            (tile, depth_bits, g_stream, slots), num_keys=2,
+            is_stable=True)
+    else:
+        tile_sorted, _, gid = jax.lax.sort(
+            (tile, depth_bits, g_stream), num_keys=2, is_stable=True)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tids,
@@ -483,7 +499,7 @@ def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         jnp.int32)
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=raw_total, num_slots=demand,
-                   chunk_base=chunk_base)
+                   chunk_base=chunk_base, sort_slots=sort_slots)
 
 
 def chunk_capacity(max_instances: int, num_tiles: int,

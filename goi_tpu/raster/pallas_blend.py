@@ -32,9 +32,23 @@ caller segment-sums instances -> Gaussians.
 
 Feature layout within a row (D = 7 + 3 + S):
   0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..8:rgb
-  9..9+S-1:semantics 6+3+S:depth
+  9..9+S-1:semantics 6+3+S:depth  [chunked layout: 6+4+S:gaussian id]
 Output row layout (OUTC = 14 two-padded to 16):
   0..2 color accum, 3..3+S-1 semantics, 3+S depth, 3+S+1 T_final
+
+Round-3 CHUNKED layout (bin_splats_chunked, the default): tile segments
+are contiguous in the sorted stream (no K-aligned gaps); every kernel
+floor-walks the K-aligned window containing `start` and masks lanes
+outside [start, end). The backward/trace write FEATURE-major NARROW
+buffers ((d_pad, chunks*K): K-lane tile-aligned slices — Mosaic rejects
+partial-lane (<128) slices, ruling out narrow row-major tiles — and no
+per-chunk flip) with each instance's Gaussian id transported as one
+more feature row; the caller pays one narrow transpose, then reduces
+via the permutation chain ('chain', default: invert the sort lazily,
+gather rows to expansion order, MXU prefix sums, boundary differences)
+or one transported-key segment-sum ('scatter'). XLA's multi-column
+scatter is column-serial (~12 ms/col at 2.5M rows), which makes the
+chain ~2.5x faster at production scale.
 """
 
 from __future__ import annotations
@@ -457,6 +471,16 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
             sem_in.at[slot])
 
     def out_dma(k, slot):
+        if with_gid:
+            # chunked: FEATURE-major narrow output (d_pad, chunks*K) —
+            # K=128-lane slices are tile-aligned on both sides (Mosaic
+            # rejects partial-lane (<128 wide) VMEM/HBM slices, which
+            # rules out narrow row-major tiles); also saves the
+            # in-kernel (d, K) -> (K, d) flip
+            off = pl.multiple_of((cb + k) * K, K)
+            return pltpu.make_async_copy(
+                tscratch.at[slot], dfeat_ref.at[:, pl.ds(off, K)],
+                sem_out.at[slot])
         off = pl.multiple_of((cb + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], dfeat_ref.at[pl.ds(off, K)],
@@ -468,7 +492,7 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
 
     # the padding lanes of both row-major output tiles are constant
     # zero — write them once, outside the chunk loop
-    if tscratch.shape[2] > d_rows:   # narrow chunked rows have none
+    if not with_gid:   # aligned row-major tiles: constant zero lanes
         tscratch[0, :, d_rows:] = jnp.zeros(
             (K, tscratch.shape[2] - d_rows), jnp.float32)
         tscratch[1, :, d_rows:] = jnp.zeros(
@@ -568,10 +592,15 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         def _():
             out_dma(k - 2, slot).wait()
 
-        # flip the d real rows to row-major (K, d) on this VMEM tile so
-        # the caller\'s scatter reduction never pays a (D, M) -> (M, D)
-        # transpose at instance scale
-        tscratch[slot, :, :d_rows] = dscratch[:, :].T
+        if with_gid:
+            # chunked: feature-major copy, no flip (the caller pays one
+            # narrow (d+1, R) -> (R, d+1) transpose before the reduce)
+            tscratch[slot] = dscratch[:, :]
+        else:
+            # aligned: flip the d real rows to row-major (K, d) on this
+            # VMEM tile so the scatter reduction never pays a
+            # (D, M) -> (M, D) transpose at instance scale
+            tscratch[slot, :, :d_rows] = dscratch[:, :].T
         out_dma(k, slot).start()
 
         prefix = prefix + jnp.sum(wf, axis=1, keepdims=True)
@@ -633,6 +662,12 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
             sem_in.at[slot])
 
     def out_dma(k, slot):
+        if with_gid:
+            # chunked: feature-major narrow output (see _bwd_kernel)
+            off = pl.multiple_of((cb + k) * K, K)
+            return pltpu.make_async_copy(
+                tscratch.at[slot], rows_ref.at[:, pl.ds(off, K)],
+                sem_out.at[slot])
         off = pl.multiple_of((cb + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], rows_ref.at[pl.ds(off, K)],
@@ -642,11 +677,17 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
     def _():
         in_dma(0, 0).start()
 
-    # constant-zero padding lanes of the row tiles, written once
-    tscratch[0, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
-                                    jnp.float32)
-    tscratch[1, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
-                                    jnp.float32)
+    # constant-zero padding of the row tiles, written once
+    if with_gid:   # feature-major (rows, K): pad beyond the key row
+        tscratch[0, sa + 1:, :] = jnp.zeros(
+            (tscratch.shape[1] - sa - 1, K), jnp.float32)
+        tscratch[1, sa + 1:, :] = jnp.zeros(
+            (tscratch.shape[1] - sa - 1, K), jnp.float32)
+    else:          # aligned row-major (K, DOUT): pad lanes
+        tscratch[0, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
+                                        jnp.float32)
+        tscratch[1, :, sa:] = jnp.zeros((K, tscratch.shape[2] - sa),
+                                        jnp.float32)
 
     def cond(c):
         k, t_all, t_blend, acc = c
@@ -675,20 +716,25 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
         # blended AND alpha > 0.005 (strict, ref:forward.cu:512)
         hit = (ck["active"] & (ck["alpha"] > 0.005)) \
             .astype(jnp.float32)                      # (PIX, K)
-        rows = jax.lax.dot_general(
-            hit, semt, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)       # (K, sa)
 
         @pl.when(k >= 2)
         def _():
             out_dma(k - 2, slot).wait()
 
-        tscratch[slot, :, :sa] = rows
         if with_gid:
-            # transport each lane's Gaussian id (feat row 6+n_out) into
-            # row lane sa — the reduction's keys, no index gather
-            tscratch[slot, :, sa:sa + 1] = f[6 + n_out:7 + n_out, :].T
+            # feature-major (sa, K) lift + the transported Gaussian-id
+            # key (feat row 6+n_out) as one more row — no index gather
+            # in the reduction, no in-kernel transpose
+            tscratch[slot, :sa, :] = jax.lax.dot_general(
+                semt, hit, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)   # (sa, K)
+            tscratch[slot, sa:sa + 1, :] = f[6 + n_out:7 + n_out, :]
+        else:
+            tscratch[slot, :, :sa] = jax.lax.dot_general(
+                hit, semt, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)   # (K, sa)
         out_dma(k, slot).start()
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
@@ -752,14 +798,18 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
     outc = n_out + 2
     n_inst = feat.shape[1]
     if chunked:
-        n_rows = ((n_inst - K) // K + num_tiles + 1) * K
+        # feature-major narrow rows (see _blend_core_bwd)
+        n_chunks_cap = (n_inst - K) // K + num_tiles + 1
         cbase = binning.chunk_base
-        # narrow rows: lifted features + the transported key, 8-padded
         dout_tr = -(-(sa + 1) // 8) * 8
+        rows_sd = jax.ShapeDtypeStruct((dout_tr, n_chunks_cap * K),
+                                       jnp.float32)
+        tscr = pltpu.VMEM((2, dout_tr, K), jnp.float32)
     else:
-        n_rows = n_inst
         cbase = binning.tile_start // K
         dout_tr = DOUT
+        rows_sd = jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32)
+        tscr = pltpu.VMEM((2, K, DOUT), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -776,7 +826,7 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((2, K, dout_tr), jnp.float32),
+            tscr,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -788,14 +838,16 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
                 with_gid=chunked),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, PIX, outc), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, dout_tr), jnp.float32),
+            rows_sd,
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
         input_output_aliases={5: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(binning.tile_start, binning.tile_end, cbase, feat,
-      sem_aug_tiles, jnp.zeros((n_rows, dout_tr), jnp.float32))
+      sem_aug_tiles, jnp.zeros(rows_sd.shape, jnp.float32))
+    if chunked:
+        rows = rows[:sa + 1].T     # one narrow transpose to row-major
 
     # instance rows -> per-Gaussian sums (deterministic segment-sum)
     n_gauss = sp.mean2d.shape[0]
@@ -819,6 +871,67 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
     sem = out[:, :, 3:3 + s]
     depth = out[:, :, 3 + s]
     return color, sem, depth, 1.0 - t_final, lifted
+
+
+def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
+                              cbase, n_gauss, s_dim):
+    """Chunked chain reduction: XLA's multi-column segment-sum scatter
+    costs ~12 ms PER COLUMN at 2.5M rows (column-serial), so the
+    d~21-column reduction via plain scatter is ~250 ms. This chain is
+    gather/MXU-only (~100 ms measured end-to-end at 1M):
+
+      1. invert the sort permutation lazily: sorted position p ->
+         backward row index is AFFINE per tile (cbase*K - walk + p), so
+         stream_pos = scatter(sort_slots -> row) is ONE 1-column
+         scatter (~18 ms);
+      2. gather rows into EXPANSION order (Gaussian-major, ~47 ms);
+      3. two-level exclusive prefix sum (block tri-matmuls on the MXU
+         at HIGHEST, ~6 ms);
+      4. per-Gaussian sums as boundary differences of the prefix at
+         bounds = cumsum(max(counts,1)) — one sorted (N+1)-row gather.
+
+    Deterministic; summation order is blocked-prefix (PARITY.md
+    deviation 3's error class), same as the aligned cumsum reduce."""
+    d = 7 + 3 + s_dim
+    m = sort_slots.shape[0]
+    n_rows = rows.shape[0]
+    walk = (starts // K) * K
+    pad = cbase * K - walk                              # (T,)
+    counts_t = ends - starts
+    kept = ends[-1]   # contiguous stream: last tile's end == total kept
+    pad_p = jnp.repeat(pad, counts_t, total_repeat_length=m)
+    row_p = jnp.arange(m, dtype=jnp.int32) + pad_p
+    row_p = jnp.where(jnp.arange(m, dtype=jnp.int32) < kept, row_p,
+                      jnp.int32(2 ** 30))
+    stream_pos = jnp.full(m, jnp.int32(2 ** 30)).at[sort_slots].set(
+        row_p, mode="drop")
+    ok = stream_pos < n_rows
+    idx = jnp.where(ok, stream_pos, 0)
+    r = rows.at[idx].get(mode="promise_in_bounds")[:, :d]
+    r = jnp.where(ok[:, None], r, 0.0)
+
+    nb = -(-m // CUMSUM_BLOCK)
+    r = jnp.pad(r, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
+    xb = r.reshape(nb, CUMSUM_BLOCK, d)
+    ri = jnp.arange(CUMSUM_BLOCK)
+    tri = (ri[:, None] > ri[None, :]).astype(jnp.float32)
+    inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    tot = inner[:, -1, :] + xb[:, -1, :]
+    offs = jnp.concatenate([jnp.zeros((1, d), jnp.float32),
+                            jnp.cumsum(tot, axis=0)])
+    inner_flat = jnp.concatenate(
+        [inner, jnp.zeros((1, CUMSUM_BLOCK, d), jnp.float32)]
+    ).reshape(-1, d)
+    p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
+    cs = offs.at[p // CUMSUM_BLOCK].get(
+        mode="promise_in_bounds", indices_are_sorted=True) + \
+        inner_flat.at[p].get(
+            mode="promise_in_bounds", indices_are_sorted=True)
+    acc = cs[1:] - cs[:-1]                              # (n_gauss, d)
+    return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
+            acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
 
 def _reduce_transported(rows, n_gauss, s_dim):
@@ -895,17 +1008,20 @@ def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
     outc = n_out + 2
     n_inst = feat.shape[1]
     if chunked:
-        # per-(tile, chunk) rows: every tile owns ceil(span/K) slices.
-        # Rows are NARROW (d_pad lanes = the real grad columns + the
-        # transported key, 8-padded) instead of DOUT=128 — the
-        # downstream segment-sum is instance-scale memory traffic, and
-        # 128-lane rows were 5x waste.
-        n_rows = (n_inst - K) // K + num_tiles + 1
-        n_rows *= K
-        dout = feat.shape[0]
+        # per-(tile, chunk) row slices: every tile owns ceil(span/K).
+        # The buffer is FEATURE-major and NARROW ((d_pad, chunks*K):
+        # the real grad rows + the transported key, 8-padded) — K-lane
+        # slices are tile-aligned on both sides, the kernel skips the
+        # per-chunk flip, and the downstream reduction's traffic drops
+        # 5x vs DOUT=128 row-major tiles (which Mosaic also cannot
+        # emit narrow: partial-lane slices are rejected).
+        n_chunks_cap = (n_inst - K) // K + num_tiles + 1
+        out_sd = jax.ShapeDtypeStruct(
+            (feat.shape[0], n_chunks_cap * K), jnp.float32)
+        tscr = pltpu.VMEM((2, feat.shape[0], K), jnp.float32)
     else:
-        n_rows = n_inst
-        dout = DOUT
+        out_sd = jax.ShapeDtypeStruct((n_inst, DOUT), jnp.float32)
+        tscr = pltpu.VMEM((2, K, DOUT), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -921,7 +1037,7 @@ def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
         scratch_shapes=[
             pltpu.VMEM((2, feat.shape[0], K), jnp.float32),
             pltpu.VMEM((feat.shape[0], K), jnp.float32),
-            pltpu.VMEM((2, K, dout), jnp.float32),
+            tscr,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -931,17 +1047,28 @@ def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
     dfeat = pl.pallas_call(
         partial(_bwd_kernel, grid_x=grid_x, n_out=n_out,
                 with_gid=chunked),
-        out_shape=jax.ShapeDtypeStruct((n_rows, dout), jnp.float32),
+        out_shape=out_sd,
         grid_spec=grid_spec,
         interpret=_interpret(),
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, ends, cbase, feat, out, g,
-      jnp.zeros((n_rows, dout), jnp.float32))
+      jnp.zeros(out_sd.shape, jnp.float32))
+    if chunked:
+        # ONE narrow transpose (d+1 real rows only) to row-major for
+        # the reduction (~6 ms at 2.4M instances)
+        d_keyed = 7 + 3 + s_dim + 1
+        dfeat = dfeat[:d_keyed].T
     # rows never covered by a tile segment hold prezeroed memory; the
     # reductions mask (aligned: sentinel gids / sentinel stream_pos) or
     # harmlessly absorb (chunked: zero rows) them
-    if chunked:
+    if chunked and perm:
+        sort_slots, bounds = perm
+        dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
+            _reduce_transported_chain(dfeat, sort_slots, bounds,
+                                      starts, ends, cbase, n_gauss,
+                                      s_dim)
+    elif chunked:
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_transported(dfeat, n_gauss, s_dim)
     elif len(perm) == 3:
@@ -982,18 +1109,32 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
             f"DOUT={DOUT} (the pallas backward's row-major grad tile); "
             f"use RasterConfig(backend='xla') for larger sem_dim")
     n_out = 3 + s + 1
-    if reduce not in ("scatter", "sorted", "cumsum"):
+    if reduce not in ("scatter", "sorted", "cumsum", "chain"):
         raise ValueError(f"unknown reduce {reduce!r} (resolve 'auto' "
                          f"before calling blend_tiles_pallas)")
-    if chunked and reduce != "scatter":
+    if chunked and reduce not in ("scatter", "chain"):
         raise ValueError(
-            f"chunked binning reduces via kernel-transported keys; "
+            f"chunked binning reduces via kernel-transported keys "
+            f"('scatter') or the permutation chain ('chain'); "
             f"reduce={reduce!r} is an aligned-layout mode")
+    if not chunked and reduce == "chain":
+        raise ValueError("reduce='chain' needs the chunked layout")
+    if chunked and reduce == "chain" and binning.sort_slots is None:
+        raise ValueError("reduce='chain' needs bin_splats_chunked("
+                         "..., export_perm=True)")
     # the requested reduce decides the strategy; the binning layout must
     # match it (a perm-exporting binning does NOT silently upgrade
     # reduce='scatter', and 'sorted'/'cumsum' without the exported
     # permutation is an error, not a silent scatter downgrade)
     perm = ()
+    if reduce == "chain":
+        # expansion-stream boundaries with the chunked layout's forced
+        # sentinel slots (counts' = max(counts, 1))
+        counts = jnp.maximum(jax.lax.stop_gradient(
+            sp.tiles_touched).astype(jnp.int32), 1)
+        bounds = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+        perm = (binning.sort_slots, bounds)
     if reduce in ("sorted", "cumsum"):
         if binning.stream_pos is None:
             raise ValueError(

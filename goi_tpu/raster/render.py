@@ -59,23 +59,22 @@ class RasterConfig:
     # demand smaller than the raw rect expansion demand on deep scenes
     # and larger on sparse ones — suggest_budgets() sizes both exactly.
     max_binned: Optional[int] = None
-    # instance->Gaussian gradient reduction strategy (pallas backend):
-    # 'scatter' = one segment-sum scatter-add keyed by tile-sorted gids;
-    # 'sorted' = gather grads to expansion-stream order (binning exports
-    # the sort permutation) + sorted-key segment-sum;
-    # 'cumsum' = expansion-order gather + two-level MXU prefix sum +
-    # boundary-difference (see pallas_blend._reduce_instance_grads_cumsum
-    # — ~6x faster than 'scatter' at >= 1M instances, slower below
-    # ~500k);
-    # 'auto' = 'cumsum' when the static budgets cross the measured
-    # crossover (see _effective_reduce), else 'scatter'.
-    # Same math, all deterministic, all full-fp32 (the cumsum chain's
-    # MXU prefix matmuls run at Precision.HIGHEST); the cumsum path's
-    # boundary differences carry absolute noise ~ eps * running-prefix
-    # magnitude on tiny per-Gaussian grads (PARITY.md deviation 3) —
-    # the same error class as the reference's fp32 atomicAdd ordering.
-    # Memory: 'sorted'/'cumsum' also make binning export the sort
-    # permutation (two extra max_instances-sized int32 arrays).
+    # instance->Gaussian gradient reduction strategy (pallas backend).
+    # layout='chunked' (default): 'chain' (default via 'auto') = invert
+    #   the sort permutation lazily in the backward, gather grad rows
+    #   to expansion order, two-level MXU prefix sum, per-Gaussian
+    #   boundary differences — gather/MXU-bound (XLA's multi-column
+    #   scatter is column-serial at ~12 ms/col at 2.5M rows, making
+    #   'scatter' ~2.5x slower at 1M-Gaussian scale);
+    #   'scatter' = one segment-sum keyed by the kernel-transported ids.
+    # layout='aligned' (legacy): 'scatter' | 'sorted' | 'cumsum' as in
+    #   round 2; 'auto' picks by the measured budget crossover
+    #   (see _effective_reduce).
+    # Same math, all deterministic, all full-fp32 (prefix matmuls at
+    # Precision.HIGHEST); the chain/cumsum paths' boundary differences
+    # carry absolute noise ~ eps * running-prefix magnitude on tiny
+    # per-Gaussian grads (PARITY.md deviation 3) — the same error class
+    # as the reference's fp32 atomicAdd ordering.
     reduce: str = "auto"
     # exact ellipse/tile overlap cull in binning (output-exact; see
     # binning._expand_instances). False = raw rect expansion, the CUDA
@@ -116,9 +115,14 @@ def _effective_reduce(config: RasterConfig) -> str:
     much larger expansion stream) the chain can lose even above the
     crossover, so require chain rows < 5x scatter rows too."""
     if config.backend == "pallas" and config.layout == "chunked":
-        # the chunked layout's reduction keys are kernel-transported;
-        # there is only the one ('scatter'-shaped) strategy
-        return "scatter"
+        # chunked strategies: 'chain' (sort-permutation inversion +
+        # expansion-order prefix sums — gather/MXU-bound, ~2.5x faster
+        # than the scatter at 1M-Gaussian scale because XLA's
+        # multi-column scatter is column-serial at ~12 ms/col) or
+        # 'scatter' (kernel-transported keys, one segment-sum)
+        if config.reduce in ("scatter", "chain"):
+            return config.reduce
+        return "chain"
     if config.reduce != "auto":
         return config.reduce
     n_binned = (config.max_binned if config.max_binned is not None
@@ -141,7 +145,8 @@ def _bin_for_backend(sp, config: RasterConfig, grid_x: int, grid_y: int):
             return bin_splats_chunked(
                 sp_ng, grid_x=grid_x, grid_y=grid_y,
                 max_instances=config.max_instances,
-                chunk_k=PALLAS_K, cull=config.cull)
+                chunk_k=PALLAS_K, cull=config.cull,
+                export_perm=(_effective_reduce(config) == "chain"))
         align = PALLAS_K
     else:
         align = 0
@@ -322,15 +327,18 @@ def render(
                                 mean2d_offset=mean2d_offset)
     if config.backend not in ("xla", "pallas"):
         raise ValueError(f"unknown backend {config.backend!r}")
-    if config.reduce not in ("scatter", "sorted", "cumsum", "auto"):
+    if config.reduce not in ("scatter", "sorted", "cumsum", "chain",
+                             "auto"):
         raise ValueError(f"unknown reduce {config.reduce!r}")
     if config.layout not in ("chunked", "aligned"):
         raise ValueError(f"unknown layout {config.layout!r}")
     if (config.backend == "pallas" and config.layout == "chunked"
-            and config.reduce not in ("auto", "scatter")):
+            and config.reduce not in ("auto", "scatter", "chain")):
         raise ValueError(
-            f"layout='chunked' reduces via kernel-transported keys; "
+            f"layout='chunked' supports reduce 'chain'/'scatter'; "
             f"reduce={config.reduce!r} needs layout='aligned'")
+    if config.reduce == "chain" and config.layout != "chunked":
+        raise ValueError("reduce='chain' needs layout='chunked'")
 
     grid_x, grid_y = _grid(cam)
     sp = preprocess(scene, cam, scaling_modifier=scaling_modifier,

@@ -222,6 +222,10 @@ def test_auto_reduce_resolves_by_budget():
     explicit = RasterConfig(max_instances=1 << 24, reduce="sorted",
                             layout="aligned")
     assert _effective_reduce(explicit) == "sorted"
-    # chunked layout has exactly one (transported-key) strategy
+    # chunked layout defaults to the permutation chain; explicit
+    # scatter stays selectable
     chunked = RasterConfig(max_instances=1 << 24, backend="pallas")
-    assert _effective_reduce(chunked) == "scatter"
+    assert _effective_reduce(chunked) == "chain"
+    import dataclasses
+    ch_sc = dataclasses.replace(chunked, reduce="scatter")
+    assert _effective_reduce(ch_sc) == "scatter"

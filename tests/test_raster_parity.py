@@ -159,8 +159,13 @@ def test_overlap_cull_is_output_exact(backend):
     bg = jnp.zeros(3)
     # tile_cap must cover the UNCULLED per-tile depth: otherwise the
     # xla backend truncates the cull=False control differently and the
-    # comparison tests the truncation, not the cull
-    cfg = _dc.replace(CFG, backend=backend, tile_cap=2048)
+    # comparison tests the truncation, not the cull. reduce='scatter':
+    # the chunked default ('chain') is a prefix-DIFFERENCE whose noise
+    # scales with the running-prefix magnitude, and cull on/off changes
+    # the stream length (hence the prefixes) — the comparison would
+    # measure that documented noise, not the cull's exactness.
+    cfg = _dc.replace(CFG, backend=backend, tile_cap=2048,
+                      reduce="scatter")
 
     sp = preprocess(scene, cam)
     b_cull = bin_splats(sp, grid_x=6, grid_y=5,

@@ -37,7 +37,7 @@ def test_scale_config_reduce_routing():
                                        _effective_reduce)
     # measured at 500k/512^2: ~1.1M aligned slots (SCALE_TRAIN.json)
     chunked = RasterConfig(max_instances=1 << 21, backend="pallas")
-    assert _effective_reduce(chunked) == "scatter"
+    assert _effective_reduce(chunked) == "chain"
     aligned = RasterConfig(max_instances=1 << 21, max_binned=1 << 20,
                            backend="pallas", layout="aligned")
     assert 1 << 20 >= AUTO_CUMSUM_MIN
