@@ -64,7 +64,10 @@ from goi_tpu.raster.binning import Binning
 from goi_tpu.raster.preprocess import TILE, Splats
 from goi_tpu.raster.reference import ALPHA_CLAMP, ALPHA_MIN, T_EPS
 
-K = 128          # instances per chunk (lane width)
+K = 256          # instances per chunk (2x the lane width: fewer
+#                  chunk iterations / DMAs; the lane-cumsum stays
+#                  linear in K via SUB-blocked tri matmuls)
+SUB = 128        # tri-matmul block (the MXU lane width)
 PIX = TILE * TILE
 
 
@@ -282,11 +285,32 @@ def _p6():
 
 
 def _tri():
-    """(K, K) upper-triangular ones: X @ tri = inclusive cumsum over
-    lanes, on the MXU."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    """(SUB, SUB) upper-triangular ones: X @ tri = inclusive cumsum
+    over lanes, on the MXU."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     return (r <= c).astype(jnp.float32)
+
+
+def _lane_cumsum(x):
+    """Inclusive cumsum along the K lanes of (PIX, K), as K/SUB
+    (PIX, SUB) @ (SUB, SUB) tri matmuls with a carried total — keeps
+    the MXU work LINEAR in K (one full (K, K) tri would be quadratic).
+    HIGHEST precision: the tri is 0/1 (bf16-exact); the multi-pass
+    decomposition keeps full-fp32 operands (see _chunk_common)."""
+    tri = _tri()
+    parts = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for j in range(K // SUB):
+        cs = jax.lax.dot_general(
+            x[:, j * SUB:(j + 1) * SUB], tri,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32) + carry
+        parts.append(cs)
+        carry = cs[:, SUB - 1:SUB]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=1)
 
 
 def _chunk_common(f, px, py, off, start, end, t_carry):
@@ -337,10 +361,7 @@ def _chunk_common(f, px, py, off, start, end, t_carry):
     # multi-pass decomposition restores true fp32 cumsums; the kernels
     # are DMA/VPU-bound, so the extra MXU passes are ~free.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    cp = jnp.exp(jax.lax.dot_general(
-        jnp.log(q), _tri(), (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32))
+    cp = jnp.exp(_lane_cumsum(jnp.log(q)))
     cp_excl = jnp.where(lane < 1, 1.0, pltpu.roll(cp, 1, axis=1))
     p_excl = t_carry * cp_excl
     p_incl = t_carry * cp
@@ -529,9 +550,7 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
             gc, w, (((0,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)
         wf = w * fdotg
-        prefix_incl = prefix + jnp.dot(
-            wf, _tri(), precision=hi,
-            preferred_element_type=jnp.float32)
+        prefix_incl = prefix + _lane_cumsum(wf)
         r_suffix = total - prefix_incl
         t_prev = ck["p_excl"]
         dalpha = jnp.where(active, t_prev * fdotg - r_suffix / q, 0.0)
