@@ -206,11 +206,15 @@ def _webapp_frame_ms(scene, w, h, frames=10):
     sess = QuerySession(scene, dec, lut, cfg, white_background=False)
     sess.set_text(jnp.ones(64) / 8.0)
 
+    from goi_tpu.viewer.web import _to_jpeg
+
     def one(i):
         cam = NGPOrbitCamera(w, h, r=3.5, fovy=50.0)
         cam.orbit_to(0.0, 137.0 * i)
-        img = sess.render_view(cam.to_camera())
-        return _to_png(np.asarray(img).transpose(2, 0, 1))
+        # the interactive configuration: device-side uint8 quantization
+        # (3.7 MB transfer instead of 15 MB f32) + JPEG encoding
+        img = sess.render_view(cam.to_camera(), as_u8=True)
+        return _to_jpeg(np.asarray(img).transpose(2, 0, 1))
 
     one(0)  # compile
     t0 = time.time()

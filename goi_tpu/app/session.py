@@ -39,10 +39,10 @@ from goi_tpu.utils.image import turbo_colormap
 
 @partial(jax.jit, static_argnames=("cfg", "mode", "branch",
                                    "scaling_modifier", "sim_thresh",
-                                   "log_scale"))
+                                   "log_scale", "as_u8"))
 def _frame_device(scene, cam, bg, gmask, decoder, lut, text, osh_w,
                   osh_b, *, cfg, mode, branch, scaling_modifier,
-                  sim_thresh, log_scale):
+                  sim_thresh, log_scale, as_u8=False):
     """One viewer frame fully ON DEVICE (render + similarity +
     turbo-heat composite in a single XLA program). The eager per-op
     version of this path pays one host dispatch per op — tens of ms of
@@ -50,18 +50,26 @@ def _frame_device(scene, cam, bg, gmask, decoder, lut, text, osh_w,
     GUI's per-frame hot loop, ref:gui/main.py:549-604); compiled it is
     one dispatch. Math is identical to QuerySession.render_view's
     original eager composition (compute_similarity + clip_color)."""
+    def finish(img):
+        # as_u8: quantize ON DEVICE so the host pulls 3.7 MB of uint8
+        # per 1296x968 frame instead of 15 MB of f32 (the web frame's
+        # transfer dominates at interactive sizes)
+        if as_u8:
+            return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return img
+
     out = render(scene, cam, bg, cfg,
                  scaling_modifier=scaling_modifier,
                  gaussian_mask=gmask)
     if mode == "depth":
         d = out["depth"][0]
         d = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-9)
-        return jnp.stack([d] * 3, -1)
+        return finish(jnp.stack([d] * 3, -1))
     if mode == "alpha":
-        return jnp.stack([out["alpha"][0]] * 3, -1)
+        return finish(jnp.stack([out["alpha"][0]] * 3, -1))
     img = out["render"].transpose(1, 2, 0)
     if branch == "none":
-        return img
+        return finish(img)
     s, h, w = out["semantics"].shape
     dec = decoder(out["semantics"].reshape(s, -1).T)
     if lut is not None:
@@ -93,7 +101,7 @@ def _frame_device(scene, cam, bg, gmask, decoder, lut, text, osh_w,
     else:
         alpha = 1.0
     opa = alpha * 0.4
-    return jnp.clip(heat * opa + img * (1 - opa), 0, 1)
+    return finish(jnp.clip(heat * opa + img * (1 - opa), 0, 1))
 
 
 class QuerySession:
@@ -154,7 +162,8 @@ class QuerySession:
     # ---- per-frame ----
     def render_view(self, cam: Camera, mode: str = "image",
                     overlay: bool = True,
-                    scaling_modifier: float = 1.0) -> np.ndarray:
+                    scaling_modifier: float = 1.0,
+                    as_u8: bool = False) -> np.ndarray:
         """One viewer frame: render + optional similarity heat overlay
         (ref:gui/main.py:549-604). Returns (H, W, 3) float.
 
@@ -178,7 +187,7 @@ class QuerySession:
             text, osh_w, osh_b, cfg=self.raster_cfg, mode=mode,
             branch=branch, scaling_modifier=float(scaling_modifier),
             sim_thresh=self.sim_thresh,
-            log_scale=float(self.log_scale))
+            log_scale=float(self.log_scale), as_u8=as_u8)
         return np.asarray(img)
 
     # ---- OSH fine-tune (ref:gui/main.py:1673-1763) ----

@@ -119,10 +119,14 @@ def _effective_reduce(config: RasterConfig) -> str:
         # expansion-order prefix sums — gather/MXU-bound, ~2.5x faster
         # than the scatter at 1M-Gaussian scale because XLA's
         # multi-column scatter is column-serial at ~12 ms/col) or
-        # 'scatter' (kernel-transported keys, one segment-sum)
+        # 'scatter' (kernel-transported keys, one segment-sum). Below
+        # the crossover the chain's fixed stages (permutation payload,
+        # inversion scatter, boundary gathers) lose to the direct
+        # scatter, whose column-serial cost shrinks with the budget.
         if config.reduce in ("scatter", "chain"):
             return config.reduce
-        return "chain"
+        return ("chain" if config.max_instances >= AUTO_CUMSUM_MIN
+                else "scatter")
     if config.reduce != "auto":
         return config.reduce
     n_binned = (config.max_binned if config.max_binned is not None
@@ -210,7 +214,8 @@ BUDGET_QUANTUM = 4096  # multiple of pallas_blend.K; keeps re-jit churn low
 def suggest_instance_budget(scene: GaussianScene, cams, *,
                             margin: float = 1.5,
                             minimum: int = 1 << 15,
-                            align: int = 0) -> int:
+                            align: int = 0,
+                            layout: str = "chunked") -> int:
     """Pick max_instances just above the actual instance count (with
     headroom), rounded up to BUDGET_QUANTUM — NOT to a power of two:
     binning, packing, and the gradient reduction all scale with the
@@ -229,7 +234,8 @@ def suggest_instance_budget(scene: GaussianScene, cams, *,
     For independently sized expansion/aligned buffers (smaller hot
     buffers on deep scenes), use suggest_budgets()."""
     mi, mb = suggest_budgets(scene, cams, margin=margin,
-                             minimum=minimum, align=align)
+                             minimum=minimum, align=align,
+                             layout=layout)
     return max(mi, mb)
 
 

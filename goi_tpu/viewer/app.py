@@ -156,7 +156,9 @@ class QueryWebApp:
                     elif u.path == "/frame":
                         q = {k: v[0]
                              for k, v in parse_qs(u.query).items()}
-                        self._reply(200, "image/png", outer._frame(q))
+                        fmt = q.get("fmt", "png")
+                        self._reply(200, f"image/{fmt}",
+                                    outer._frame(q))
                     elif u.path == "/state":
                         self._json(outer._state())
                     else:
@@ -192,11 +194,16 @@ class QueryWebApp:
         return cam.to_camera()
 
     def _frame(self, q: dict) -> bytes:
+        from goi_tpu.viewer.web import _to_jpeg
         with self._lock:
             img = self.session.render_view(
                 self._cam(q), mode=q.get("mode", "image"),
-                overlay=q.get("overlay", "1") not in ("0", "false"))
-        return _to_png(np.asarray(img).transpose(2, 0, 1))
+                overlay=q.get("overlay", "1") not in ("0", "false"),
+                as_u8=True)
+        chw = np.asarray(img).transpose(2, 0, 1)
+        if q.get("fmt", "png") == "jpeg":
+            return _to_jpeg(chw)
+        return _to_png(chw)
 
     def _state(self) -> dict:
         s = self.session

@@ -64,16 +64,34 @@ loop();
 </script></body></html>"""
 
 
-def _to_png(img_chw: np.ndarray) -> bytes:
-    import imageio.v2 as imageio
-
-    arr = np.clip(np.asarray(img_chw), 0, 1)
+def _as_u8_hwc(img_chw: np.ndarray) -> np.ndarray:
+    arr = np.asarray(img_chw)
     if arr.ndim == 3 and arr.shape[0] in (1, 3):
         arr = arr.transpose(1, 2, 0)
     if arr.shape[-1] == 1:
         arr = np.repeat(arr, 3, axis=-1)
+    if arr.dtype != np.uint8:   # device-quantized frames arrive uint8
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    return arr
+
+
+def _to_png(img_chw: np.ndarray) -> bytes:
+    import imageio.v2 as imageio
+
     buf = io.BytesIO()
-    imageio.imwrite(buf, (arr * 255).astype(np.uint8), format="png")
+    imageio.imwrite(buf, _as_u8_hwc(img_chw), format="png")
+    return buf.getvalue()
+
+
+def _to_jpeg(img_chw: np.ndarray, quality: int = 90) -> bytes:
+    """JPEG frames for the interactive viewer: encoding a 1296x968
+    frame is ~10x cheaper than PNG (the reference GUI blits raw RGB to
+    a DearPyGui texture; over HTTP the codec is the analog)."""
+    import imageio.v2 as imageio
+
+    buf = io.BytesIO()
+    imageio.imwrite(buf, _as_u8_hwc(img_chw), format="jpeg",
+                    quality=quality)
     return buf.getvalue()
 
 

@@ -99,8 +99,11 @@ def test_binning_aligned_overflow_detectable():
     assert n_slots > budget  # alignment padding overflows the raw budget
     assert int(b.num_instances) == raw
 
-    # suggest_instance_budget(align=K) must cover the aligned demand
-    good = suggest_instance_budget(scene, cam, align=K, margin=1.0)
+    # suggest_instance_budget(align=K, layout='aligned') must cover the
+    # aligned demand (the default layout is 'chunked', which has no
+    # alignment padding to size)
+    good = suggest_instance_budget(scene, cam, align=K, margin=1.0,
+                                   layout="aligned")
     assert good >= n_slots
     b2 = bin_splats(sp, grid_x=grid_x, grid_y=grid_y,
                     max_instances=good, align=K)
