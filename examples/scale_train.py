@@ -114,9 +114,13 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
                          backend="pallas")
     fresh = gt_scene.replace(
         semantics=jnp.zeros_like(gt_scene.semantics))
+    # pre-upload the (64, 512, 512) feature maps ONCE: re-transferring
+    # 67 MB host->device per iteration dominates the step time
+    ape_dev = [jax.device_put(jnp.asarray(a)) for a in ape_maps]
+    jax.block_until_ready(ape_dev)
     t0 = time.time()
     dstate = train_distillation(
-        fresh, cams[1:], ape_maps[1:], tab_len=48, ape_dim=ape_dim,
+        fresh, cams[1:], ape_dev[1:], tab_len=48, ape_dim=ape_dim,
         iterations=iters, raster_cfg=small, log_every=25)
     train_s = time.time() - t0
 
@@ -141,7 +145,7 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
         "n_gauss": n_gauss, "frame": [w, h], "iters": iters,
         "budget_expansion": int(mi), "budget_binned": int(mb),
         "reduce": "chain (chunked default)",
-        "started_binned": int(small.max_binned),
+        "started_instances": int(small.max_instances),
         "train_s": round(train_s, 1),
         "ms_per_iter": round(train_s / iters * 1000, 1),
         "miou": round(miou, 4),
