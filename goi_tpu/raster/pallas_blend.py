@@ -77,6 +77,10 @@ def _interpret() -> bool:
 
 DOUT = 128  # row-major instance-grad rows (128-lane DMA alignment)
 
+GATHER_LANES = 64  # row width for instance-scale XLA gathers: >= 64
+#                    lanes hits the fast row-gather path (~15 ns/row at
+#                    2.4M rows); 16-32 lanes measured ~2x slower
+
 
 def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid,
                with_gid: bool = False):
@@ -265,21 +269,20 @@ def pack_features(sp: Splats, binning: Binning) -> jax.Array:
                       sp.semantics, sp.depth, binning.point_list)
 
 
-def _pixel_coords(t, grid_x):
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    tile_x = t % grid_x
-    tile_y = t // grid_x
-    px = (tile_x * TILE + p_ids % TILE).astype(jnp.float32)
-    py = (tile_y * TILE + p_ids // TILE).astype(jnp.float32)
-    return px, py
+HALF = (TILE - 1) / 2.0  # tile-CENTER basis origin: |x| <= 7.5 halves
+#                          the quadratic terms' magnitude vs a corner
+#                          origin, quartering the expansion's rounding
 
 
 def _p6():
-    """(PIX, 6) tile-local pixel moment basis [1, x, y, x^2, xy, y^2]
-    (constant; hoisted out of the chunk loop by the compiler)."""
+    """(PIX, 6) tile-local pixel moment basis [1, x, y, x^2, xy, y^2],
+    centered on the tile (constant; hoisted out of the chunk loop by
+    the compiler). All power/moment formulas are affine-invariant, so
+    any shared origin works — the center minimizes |x| for
+    conditioning."""
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    x = (p_ids % TILE).astype(jnp.float32)
-    y = (p_ids // TILE).astype(jnp.float32)
+    x = (p_ids % TILE).astype(jnp.float32) - HALF
+    y = (p_ids // TILE).astype(jnp.float32) - HALF
     one = jnp.ones((PIX, 1), jnp.float32)
     return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=1)
 
@@ -313,9 +316,25 @@ def _lane_cumsum(x):
                                                             axis=1)
 
 
-def _chunk_common(f, px, py, off, start, end, t_carry):
+def _chunk_common(f, p6, tx0, ty0, off, start, end, t_carry):
     """Shared forward recompute for a chunk: returns everything the
     fwd/bwd passes need. f: (D, K) chunk.
+
+    The per-pair Gaussian exponent runs on the MXU: power(pixel, inst)
+    is a quadratic in the TILE-LOCAL pixel coordinate, so all pairs
+    collapse into ONE (PIX, 6) @ (6, K) moment-basis matmul (the same
+    p6 basis the backward uses for its gradient moments) — replacing
+    ~10 (PIX, K) VPU passes per chunk with per-instance (1, K) algebra.
+    Tile-local coordinates keep the basis terms <= 225 so the expansion
+    is well-conditioned (global coords would lose ~3 digits); opacity
+    is folded into the exponent's constant term (raw = opa * exp(power)
+    = exp(power + log opa)), saving one more (PIX, K) pass. The CUDA
+    guard power > 0 -> skip (ref:forward.cu:344-345) exists only for
+    degenerate conics (PSD conics give power <= 0 identically); the
+    expanded form adds ~1e-5 absolute noise near power == 0 (Gaussian
+    centers), so the test carries +1e-4 slack — it still rejects
+    meaningfully-positive powers while never dropping a center pixel
+    the exact form would blend.
 
     Lanes outside [start, end) are masked invalid: the chunked binning
     layout walks K-aligned windows from (start//K)*K, so a tile's first
@@ -330,18 +349,29 @@ def _chunk_common(f, px, py, off, start, end, t_carry):
     equals the blended-only T, so the weights are exact. The caller
     separately maintains the blended-only T (for the background
     composite) via the returned `blend_factor`."""
-    x, y = f[0:1, :], f[1:2, :]
     ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
     opa = f[5:6, :]
-    dx = x - px                               # (PIX, K)
-    dy = y - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    g_exp = jnp.exp(power)
-    raw = opa * g_exp
+    x_l = f[0:1, :] - tx0                     # (1, K) tile-local center
+    y_l = f[1:2, :] - ty0
+    logopa = jnp.log(jnp.maximum(opa, 1e-30))
+    coef = jnp.concatenate([
+        -0.5 * (ca * x_l * x_l + cc * y_l * y_l) - cb * x_l * y_l
+        + logopa,                             # 1
+        ca * x_l + cb * y_l,                  # px
+        cc * y_l + cb * x_l,                  # py
+        -0.5 * ca,                            # px^2
+        -cb,                                  # px*py
+        -0.5 * cc,                            # py^2
+    ], axis=0)                                # (6, K)
+    power2 = jax.lax.dot_general(             # power + log(opa)
+        p6, coef, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)   # (PIX, K)
+    raw = jnp.exp(power2)                     # == opa * exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + off
-    valid = (col >= start) & (col < end) & (power <= 0.0) \
-        & (alpha >= ALPHA_MIN)
+    valid = (col >= start) & (col < end) \
+        & (power2 <= logopa + 1e-4) & (alpha >= ALPHA_MIN)
     q = jnp.where(valid, 1.0 - alpha, 1.0)
     # inclusive cumulative product along lanes in LOG space: one
     # log + one (PIX, K) @ (K, K) upper-triangular matmul (MXU) + one
@@ -360,11 +390,11 @@ def _chunk_common(f, px, py, off, start, end, t_carry):
     # vs the fp32 XLA path. The tri matrix is 0/1 (bf16-exact), so the
     # multi-pass decomposition restores true fp32 cumsums; the kernels
     # are DMA/VPU-bound, so the extra MXU passes are ~free.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     cp = jnp.exp(_lane_cumsum(jnp.log(q)))
-    cp_excl = jnp.where(lane < 1, 1.0, pltpu.roll(cp, 1, axis=1))
-    p_excl = t_carry * cp_excl
     p_incl = t_carry * cp
+    # exclusive prefix by division (q >= 0.01 since alpha <= 0.99):
+    # one VPU pass instead of roll + lane-0 select
+    p_excl = p_incl / q
     active = valid & (p_incl >= T_EPS)
     w = jnp.where(active, alpha * p_excl, 0.0)
     # full-chunk q product == cp at the last lane == min of the
@@ -373,8 +403,8 @@ def _chunk_common(f, px, py, off, start, end, t_carry):
     # prod over ACTIVE q only: the blended-only T update factor
     blend_factor = jnp.min(jnp.where(active, cp, 1.0), axis=1,
                            keepdims=True)
-    return dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, opa=opa,
-                g_exp=g_exp, raw=raw, alpha=alpha, active=active,
+    return dict(x_l=x_l, y_l=y_l, ca=ca, cb=cb, cc=cc, opa=opa,
+                raw=raw, alpha=alpha, active=active,
                 q=q, p_incl=p_incl, p_excl=p_excl, w=w, t_next=t_next,
                 blend_factor=blend_factor)
 
@@ -389,7 +419,9 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
     # walk == start there)
     walk = (start // K) * K
     n_chunks = pl.cdiv(end - walk, K)
-    px, py = _pixel_coords(t, grid_x)
+    p6 = _p6()
+    tx0 = ((t % grid_x) * TILE).astype(jnp.float32) + HALF
+    ty0 = ((t // grid_x) * TILE).astype(jnp.float32) + HALF
 
     # double-buffered chunk reads: prefetch chunk k+1 while computing
     # chunk k so the HBM DMA latency hides behind the VPU/MXU math
@@ -420,7 +452,7 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
         in_dma(k, slot).wait()
         f = scratch[slot]
         off = pl.multiple_of(walk + k * K, K)
-        ck = _chunk_common(f, px, py, off, start, end, t_all)
+        ck = _chunk_common(f, p6, tx0, ty0, off, start, end, t_all)
         fout = f[6:6 + n_out, :]              # (n_out, K)
         # HIGHEST: fp32 accumulation of color/sem/depth (both operands
         # general fp32; DEFAULT would truncate to bf16 — see _chunk_common)
@@ -472,8 +504,10 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
     start = start_ref[t]
     end = end_ref[t]
     walk = (start // K) * K
-    cb = cbase_ref[t]
-    px, py = _pixel_coords(t, grid_x)
+    cbase = cbase_ref[t]
+    p6 = _p6()
+    tx0 = ((t % grid_x) * TILE).astype(jnp.float32) + HALF
+    ty0 = ((t // grid_x) * TILE).astype(jnp.float32) + HALF
 
     o = out_res_ref[0]                         # (PIX, OUTC)
     g = g_ref[0]
@@ -498,11 +532,11 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
             # rejects partial-lane (<128 wide) VMEM/HBM slices, which
             # rules out narrow row-major tiles); also saves the
             # in-kernel (d, K) -> (K, d) flip
-            off = pl.multiple_of((cb + k) * K, K)
+            off = pl.multiple_of((cbase + k) * K, K)
             return pltpu.make_async_copy(
                 tscratch.at[slot], dfeat_ref.at[:, pl.ds(off, K)],
                 sem_out.at[slot])
-        off = pl.multiple_of((cb + k) * K, K)
+        off = pl.multiple_of((cbase + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], dfeat_ref.at[pl.ds(off, K)],
             sem_out.at[slot])
@@ -533,7 +567,7 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         in_dma(k, slot).wait()
         f = scratch[slot]
         off = pl.multiple_of(walk + k * K, K)
-        ck = _chunk_common(f, px, py, off, start, end, t_all)
+        ck = _chunk_common(f, p6, tx0, ty0, off, start, end, t_all)
         w, q, active = ck["w"], ck["q"], ck["active"]
         fout = f[6:6 + n_out, :]
 
@@ -554,9 +588,10 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         r_suffix = total - prefix_incl
         t_prev = ck["p_excl"]
         dalpha = jnp.where(active, t_prev * fdotg - r_suffix / q, 0.0)
-        unclamped = ck["raw"] < ALPHA_CLAMP
-        dG = jnp.where(unclamped, ck["opa"] * dalpha, 0.0)
-        dpow = ck["g_exp"] * dG
+        # dpow = d power = raw * dalpha where unclamped (raw is the
+        # opacity-folded exp, == opa * g_exp)
+        dpow = jnp.where(ck["raw"] < ALPHA_CLAMP,
+                         ck["raw"] * dalpha, 0.0)
 
         # ---- geometric grads via pixel MOMENTS (one MXU matmul) ----
         # Each of the five mean2d/conic grad sums is a polynomial in
@@ -574,14 +609,11 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         # nondeterministic anyway). ref:cuda_rasterizer/backward.cu:
         # 598-621.
         mom = jax.lax.dot_general(
-            _p6(), dpow, (((0,), (0,)), ((), ())), precision=hi,
+            p6, dpow, (((0,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)          # (6, K)
         m0, m1, m2 = mom[0:1, :], mom[1:2, :], mom[2:3, :]
         m3, m4, m5 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
-        tx0 = ((t % grid_x) * TILE).astype(jnp.float32)
-        ty0 = ((t // grid_x) * TILE).astype(jnp.float32)
-        x_l = f[0:1, :] - tx0                            # (1, K)
-        y_l = f[1:2, :] - ty0
+        x_l, y_l = ck["x_l"], ck["y_l"]                  # (1, K)
         ca, cb, cc, opa = ck["ca"], ck["cb"], ck["cc"], ck["opa"]
 
         dscratch[0:1, :] = -(ca * x_l + cb * y_l) * m0 + ca * m1 \
@@ -669,9 +701,11 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
     start = start_ref[t]
     end = end_ref[t]
     walk = (start // K) * K
-    cb = cbase_ref[t]
+    cbase = cbase_ref[t]
     n_chunks = pl.cdiv(end - walk, K)
-    px, py = _pixel_coords(t, grid_x)
+    p6 = _p6()
+    tx0 = ((t % grid_x) * TILE).astype(jnp.float32) + HALF
+    ty0 = ((t // grid_x) * TILE).astype(jnp.float32) + HALF
     semt = semt_ref[0]                                # (PIX, sa)
 
     def in_dma(k, slot):
@@ -683,11 +717,11 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
     def out_dma(k, slot):
         if with_gid:
             # chunked: feature-major narrow output (see _bwd_kernel)
-            off = pl.multiple_of((cb + k) * K, K)
+            off = pl.multiple_of((cbase + k) * K, K)
             return pltpu.make_async_copy(
                 tscratch.at[slot], rows_ref.at[:, pl.ds(off, K)],
                 sem_out.at[slot])
-        off = pl.multiple_of((cb + k) * K, K)
+        off = pl.multiple_of((cbase + k) * K, K)
         return pltpu.make_async_copy(
             tscratch.at[slot], rows_ref.at[pl.ds(off, K)],
             sem_out.at[slot])
@@ -723,7 +757,7 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
         in_dma(k, slot).wait()
         f = scratch[slot]
         off = pl.multiple_of(walk + k * K, K)
-        ck = _chunk_common(f, px, py, off, start, end, t_all)
+        ck = _chunk_common(f, p6, tx0, ty0, off, start, end, t_all)
         fout = f[6:6 + n_out, :]
         # HIGHEST on both trace matmuls: fp32 accumulation (hit is 0/1
         # bf16-exact, but semt/w/fout are general fp32 — DEFAULT would
@@ -926,7 +960,14 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
         row_p, mode="drop")
     ok = stream_pos < n_rows
     idx = jnp.where(ok, stream_pos, 0)
-    r = rows.at[idx].get(mode="promise_in_bounds")[:, :d]
+    # XLA's TPU row gather has a fast path at >= 64-lane rows (~15
+    # ns/row measured at 2.4M rows) while 16-32-lane rows hit a
+    # per-element path ~2x slower — pad the d(~20)-lane rows to
+    # GATHER_LANES and barrier so the consumer slice cannot narrow the
+    # gather back down (the pad/slice copies are bandwidth-trivial).
+    rows_g = jnp.pad(rows[:, :d], ((0, 0), (0, GATHER_LANES - d)))
+    r = jax.lax.optimization_barrier(
+        rows_g.at[idx].get(mode="promise_in_bounds"))[:, :d]
     r = jnp.where(ok[:, None], r, 0.0)
 
     nb = -(-m // CUMSUM_BLOCK)
@@ -940,14 +981,18 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
     tot = inner[:, -1, :] + xb[:, -1, :]
     offs = jnp.concatenate([jnp.zeros((1, d), jnp.float32),
                             jnp.cumsum(tot, axis=0)])
+    # fold the block offsets into the inner prefixes so the boundary
+    # lookup is ONE gather (no separate offs gather); the appended
+    # block carries the grand total for p == nb*CUMSUM_BLOCK
     inner_flat = jnp.concatenate(
-        [inner, jnp.zeros((1, CUMSUM_BLOCK, d), jnp.float32)]
+        [inner + offs[:-1, None, :],
+         jnp.broadcast_to(offs[-1:, None, :], (1, CUMSUM_BLOCK, d))]
     ).reshape(-1, d)
+    inner_g = jnp.pad(inner_flat, ((0, 0), (0, GATHER_LANES - d)))
     p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
-    cs = offs.at[p // CUMSUM_BLOCK].get(
-        mode="promise_in_bounds", indices_are_sorted=True) + \
-        inner_flat.at[p].get(
-            mode="promise_in_bounds", indices_are_sorted=True)
+    cs = jax.lax.optimization_barrier(
+        inner_g.at[p].get(mode="promise_in_bounds",
+                          indices_are_sorted=True))[:, :d]
     acc = cs[1:] - cs[:-1]                              # (n_gauss, d)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
