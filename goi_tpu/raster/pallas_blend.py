@@ -191,6 +191,78 @@ def _reduce_instance_grads_sorted(g, perm, n_gauss, s_dim):
 CUMSUM_BLOCK = 512   # rows per triangular-matmul prefix block
 
 
+def _blocked_segment_reduce(rows, bounds, d):
+    """Per-segment sums of expansion-ordered rows with BLOCK-LOCAL
+    error scaling. rows: (m, d) in expansion (Gaussian-major) order;
+    bounds: (n_gauss+1,) non-decreasing segment boundaries already
+    clamped to m. Returns (n_gauss, d) segment sums.
+
+    Numerics (round-4 fix of the chain-reduce parity failure): the
+    round-3 version folded a GLOBAL cumsum of block totals into the
+    per-block prefixes and read each segment as the difference of two
+    boundary values of that global prefix — so every boundary carried
+    absolute rounding ~ eps * |global prefix| (growing with the stream)
+    and tiny per-Gaussian sums inherited it (measured 5.2e-4 abs on a
+    400-Gaussian scene, failing its own 5e-4 parity bar). Here no
+    global-magnitude quantity is ever materialized:
+
+      seg(g) = L[p_{g+1}] - L[p_g] + sum_{b in [p_g//B, p_{g+1}//B)} tot[b]
+
+    with L the BLOCK-LOCAL exclusive prefix (strict-lower tri matmul on
+    the MXU at HIGHEST, error ~ eps * block magnitude, B=512 rows) and
+    the whole-block term a segment-sum of block totals keyed by the
+    unique Gaussian whose segment contains the block (error ~ eps *
+    |segment sum| * blocks-in-segment — RELATIVE to the segment's own
+    magnitude). Identity check (segment spanning blocks): L[pb] sums
+    the tail rows inside block pb//B, -L[pa] cancels the head of block
+    pa//B against its full tot, interior blocks enter via tot. All
+    sums remain deterministic (the replacement for the CUDA backward's
+    atomicAdd, ref:cuda_rasterizer/backward.cu:565-621); order is
+    blocked-prefix, PARITY.md deviation 3's class, with error bounded
+    by block/segment — not global — magnitude."""
+    m, n_gauss = rows.shape[0], bounds.shape[0] - 1
+    nb = -(-m // CUMSUM_BLOCK)
+    rows = jnp.pad(rows, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
+    xb = rows.reshape(nb, CUMSUM_BLOCK, d)
+    ri = jnp.arange(CUMSUM_BLOCK)
+    tri = (ri[:, None] > ri[None, :]).astype(jnp.float32)
+    # HIGHEST: the 0/1 tri is bf16-exact; multi-pass decomposition of
+    # xb keeps true fp32 products (see _reduce_instance_grads_cumsum)
+    inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    tot = inner[:, -1, :] + xb[:, -1, :]                # (nb, d)
+    # block-LOCAL prefix lookup at the segment boundaries — one sorted
+    # gather; the appended zero block covers p == nb*B
+    inner_flat = jnp.concatenate(
+        [inner, jnp.zeros((1, CUMSUM_BLOCK, d), jnp.float32)]
+    ).reshape(-1, d)
+    p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
+    if d < GATHER_LANES:
+        # >= 64-lane rows hit XLA's fast row-gather path (see
+        # _reduce_transported_chain); guard covers d >= GATHER_LANES
+        # (sem_dim > 54), where the rows are already wide enough
+        inner_g = jnp.pad(inner_flat,
+                          ((0, 0), (0, GATHER_LANES - d)))
+        lb = jax.lax.optimization_barrier(
+            inner_g.at[p].get(mode="promise_in_bounds",
+                              indices_are_sorted=True))[:, :d]
+    else:
+        lb = inner_flat.at[p].get(mode="promise_in_bounds",
+                                  indices_are_sorted=True)
+    # whole blocks [p_g//B, p_{g+1}//B) -> Gaussian g: block b belongs
+    # to the unique g with q[g] <= b < q[g+1] (empty for q[g]==q[g+1]);
+    # blocks past the last boundary land on the n_gauss sentinel row
+    q = p // CUMSUM_BLOCK
+    gb = jnp.searchsorted(
+        q, jnp.arange(nb, dtype=q.dtype), side="right"
+    ).astype(jnp.int32) - 1
+    blocksum = jax.ops.segment_sum(
+        tot, jnp.clip(gb, 0, n_gauss),
+        num_segments=n_gauss + 1)[:n_gauss]
+    return lb[1:] - lb[:-1] + blocksum
+
+
 def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
     """Prefix-sum alternative for LARGE instance counts: gather the
     row-major instance grads into expansion-stream order (as the
@@ -219,47 +291,20 @@ def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
     replacement for the CUDA backward's atomicAdd
     (ref:cuda_rasterizer/backward.cu:565-621); summation ORDER differs
     from the scatter path (blocked prefix vs segment accumulation), so
-    results agree to fp32 rounding, not bitwise. The boundary
-    DIFFERENCE of two large running prefixes additionally puts absolute
-    noise ~ eps * prefix magnitude on tiny per-Gaussian sums (~1e-3 abs
-    on O(10) grads at 250k instances) — the same error class (and
-    typically smaller scale) as the CUDA reference's fp32 atomicAdd
-    accumulation, and still deterministic."""
+    results agree to fp32 rounding, not bitwise. Round 4: runs through
+    _blocked_segment_reduce (block-LOCAL prefixes + whole-block segment
+    sums), whose rounding scales with block/segment magnitude — the
+    round-3 global-prefix boundary differences put absolute noise
+    ~ eps * global prefix on tiny per-Gaussian sums (~1e-3 abs on O(10)
+    grads at 250k instances; see _blocked_segment_reduce)."""
     stream_pos, _, bounds = perm
-    d = 7 + 3 + s_dim
     n_rows = g.shape[0]                       # n_binned + K
     m = stream_pos.shape[0]
     ok = stream_pos < (n_rows - K)
     idx = jnp.where(ok, stream_pos, 0)
     rows = g.at[idx].get(mode="promise_in_bounds")      # (m, DOUT)
     rows = jnp.where(ok[:, None], rows, 0.0)
-    nb = -(-m // CUMSUM_BLOCK)
-    rows = jnp.pad(rows, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
-    xb = rows.reshape(nb, CUMSUM_BLOCK, DOUT)
-    r = jnp.arange(CUMSUM_BLOCK)
-    tri = (r[:, None] > r[None, :]).astype(jnp.float32)
-    # Precision.HIGHEST: at DEFAULT the MXU truncates the fp32 instance
-    # grads to bf16 per pass (~0.2-0.4% relative error — far above the
-    # fp32-rounding claim below). The 0/1 tri matrix is bf16-exact, so
-    # HIGHEST (3-pass decomposition of xb) restores true fp32 products;
-    # measured cost at 2.24M instances: ~1 ms extra on a 28 ms chain.
-    inner = jnp.einsum("ij,bjd->bid", tri, xb,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    tot = inner[:, -1, :] + xb[:, -1, :]                # block sums
-    offs = jnp.concatenate([jnp.zeros((1, DOUT), jnp.float32),
-                            jnp.cumsum(tot, axis=0)])
-    # flat exclusive prefix lookup: cs[p] = offs[p//B] + inner[p//B, p%B];
-    # one zero block covers p == nb*B
-    inner_flat = jnp.concatenate(
-        [inner, jnp.zeros((1, CUMSUM_BLOCK, DOUT), jnp.float32)]
-    ).reshape(-1, DOUT)
-    p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
-    cs = offs.at[p // CUMSUM_BLOCK].get(
-        mode="promise_in_bounds", indices_are_sorted=True) + \
-        inner_flat.at[p].get(
-            mode="promise_in_bounds", indices_are_sorted=True)
-    acc = cs[1:] - cs[:-1]                              # (n_gauss, DOUT)
+    acc = _blocked_segment_reduce(rows, bounds, DOUT)   # (n_gauss, DOUT)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
@@ -938,10 +983,13 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
          stream_pos = scatter(sort_slots -> row) is ONE 1-column
          scatter (~18 ms);
       2. gather rows into EXPANSION order (Gaussian-major, ~47 ms);
-      3. two-level exclusive prefix sum (block tri-matmuls on the MXU
-         at HIGHEST, ~6 ms);
-      4. per-Gaussian sums as boundary differences of the prefix at
-         bounds = cumsum(max(counts,1)) — one sorted (N+1)-row gather.
+      3. block-local exclusive prefixes (tri matmuls on the MXU at
+         HIGHEST, ~6 ms) + whole-block totals;
+      4. per-Gaussian sums via _blocked_segment_reduce at
+         bounds = cumsum(max(counts,1)) — boundary differences of
+         BLOCK-LOCAL prefixes plus a per-Gaussian segment-sum of block
+         totals, so rounding scales with block/segment magnitude (the
+         round-3 global-prefix version failed its own 5e-4 parity bar).
 
     Deterministic; summation order is blocked-prefix (PARITY.md
     deviation 3's error class), same as the aligned cumsum reduce."""
@@ -965,35 +1013,17 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
     # per-element path ~2x slower — pad the d(~20)-lane rows to
     # GATHER_LANES and barrier so the consumer slice cannot narrow the
     # gather back down (the pad/slice copies are bandwidth-trivial).
-    rows_g = jnp.pad(rows[:, :d], ((0, 0), (0, GATHER_LANES - d)))
-    r = jax.lax.optimization_barrier(
-        rows_g.at[idx].get(mode="promise_in_bounds"))[:, :d]
+    # d >= GATHER_LANES (sem_dim > 54): rows are already wide enough.
+    if d < GATHER_LANES:
+        rows_g = jnp.pad(rows[:, :d],
+                         ((0, 0), (0, GATHER_LANES - d)))
+        r = jax.lax.optimization_barrier(
+            rows_g.at[idx].get(mode="promise_in_bounds"))[:, :d]
+    else:
+        r = rows[:, :d].at[idx].get(mode="promise_in_bounds")
     r = jnp.where(ok[:, None], r, 0.0)
-
-    nb = -(-m // CUMSUM_BLOCK)
-    r = jnp.pad(r, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
-    xb = r.reshape(nb, CUMSUM_BLOCK, d)
-    ri = jnp.arange(CUMSUM_BLOCK)
-    tri = (ri[:, None] > ri[None, :]).astype(jnp.float32)
-    inner = jnp.einsum("ij,bjd->bid", tri, xb,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    tot = inner[:, -1, :] + xb[:, -1, :]
-    offs = jnp.concatenate([jnp.zeros((1, d), jnp.float32),
-                            jnp.cumsum(tot, axis=0)])
-    # fold the block offsets into the inner prefixes so the boundary
-    # lookup is ONE gather (no separate offs gather); the appended
-    # block carries the grand total for p == nb*CUMSUM_BLOCK
-    inner_flat = jnp.concatenate(
-        [inner + offs[:-1, None, :],
-         jnp.broadcast_to(offs[-1:, None, :], (1, CUMSUM_BLOCK, d))]
-    ).reshape(-1, d)
-    inner_g = jnp.pad(inner_flat, ((0, 0), (0, GATHER_LANES - d)))
-    p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
-    cs = jax.lax.optimization_barrier(
-        inner_g.at[p].get(mode="promise_in_bounds",
-                          indices_are_sorted=True))[:, :d]
-    acc = cs[1:] - cs[:-1]                              # (n_gauss, d)
+    p = jnp.minimum(bounds, m)
+    acc = _blocked_segment_reduce(r, p, d)              # (n_gauss, d)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 

@@ -87,9 +87,13 @@ def test_sharded_nondivisible_rows_auto_pad():
             rtol=3e-5, atol=3e-5, err_msg=key)
 
 
-def test_sharded_pallas_backend_interpret():
+@pytest.mark.parametrize("layout", ["chunked", "aligned"])
+def test_sharded_pallas_backend_interpret(layout):
+    """Both pallas layouts under shard_map (VERDICT r3 item 4: the
+    production chunked layout previously had no multi-chip path)."""
     mesh, scene, cam = _setup(4)
-    cfg = RasterConfig(max_instances=1 << 14, backend="pallas")
+    cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
+                       layout=layout)
     bg = jnp.zeros(3)
     ref = render(scene, cam, bg, CFG)
     sh = shard_scene(scene, mesh)
@@ -97,3 +101,39 @@ def test_sharded_pallas_backend_interpret():
     np.testing.assert_allclose(np.asarray(out["render"]),
                                np.asarray(ref["render"]),
                                rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("reduce", ["chain", "scatter"])
+def test_sharded_chunked_gradients_match_single_device(reduce):
+    """Chunked-layout sharded gradients (both reduces) vs the
+    single-device pallas chunked path — the kernels the single-chip
+    production benches run, now exercised under shard_map."""
+    mesh, scene, cam = _setup(4)
+    bg = jnp.zeros(3)
+    cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
+                       reduce=reduce)
+    tgt = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 64))
+
+    def loss_single(params):
+        out = render(scene.with_params(params), cam, bg, cfg)
+        return jnp.mean(out["render"] * tgt) + jnp.mean(
+            out["semantics"])
+
+    def loss_sharded(params):
+        s = scene.with_params(params)
+        out = render_sharded(s, cam, bg, cfg, mesh)
+        return jnp.mean(out["render"] * tgt) + jnp.mean(
+            out["semantics"])
+
+    g1 = jax.jit(jax.grad(loss_single))(scene.params())
+    sh = shard_scene(scene, mesh)
+    g2 = jax.jit(jax.grad(loss_sharded))(sh.params())
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        # same flip budget as test_sharded_gradients_match_single_device
+        # (ulp-level FMA contraction differences between the programs)
+        d = np.abs(a - b)
+        tol = 5e-7 + 2e-4 * np.abs(a)
+        frac = np.mean(d > tol)
+        assert frac <= 0.005, (k, frac)
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-5, err_msg=k)
