@@ -82,6 +82,18 @@ GATHER_LANES = 64  # row width for instance-scale XLA gathers: >= 64
 #                    2.4M rows); 16-32 lanes measured ~2x slower
 
 
+# In-KERNEL MXU precision for the blend/trace/backward matmuls.
+# HIGHEST = true fp32 (6-pass bf16 decomposition); HIGH = bf16_3x
+# (~fp32-grade for these operand ranges at half the MXU passes);
+# DEFAULT = single bf16 pass (the rounds-1/2 silent-truncation bug).
+# Default HIGHEST: the CUDA reference is fully fp32 (PARITY.md
+# deviation 10). examples/profile_precision.py sweeps this knob and
+# records the measured cost/error per matmul group; the reduce-side
+# tri matmuls (_blocked_segment_reduce) stay pinned at HIGHEST
+# regardless (accuracy-critical, ~1 ms at 2.4M rows).
+MXU_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid,
                with_gid: bool = False):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
@@ -353,7 +365,7 @@ def _lane_cumsum(x):
         cs = jax.lax.dot_general(
             x[:, j * SUB:(j + 1) * SUB], tri,
             (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MXU_PRECISION,
             preferred_element_type=jnp.float32) + carry
         parts.append(cs)
         carry = cs[:, SUB - 1:SUB]
@@ -410,7 +422,7 @@ def _chunk_common(f, p6, tx0, ty0, off, start, end, t_carry):
     ], axis=0)                                # (6, K)
     power2 = jax.lax.dot_general(             # power + log(opa)
         p6, coef, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MXU_PRECISION,
         preferred_element_type=jnp.float32)   # (PIX, K)
     raw = jnp.exp(power2)                     # == opa * exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
@@ -503,7 +515,7 @@ def _fwd_kernel(start_ref, end_ref, feat_ref, out_ref,
         # general fp32; DEFAULT would truncate to bf16 — see _chunk_common)
         acc = acc + jax.lax.dot_general(
             ck["w"], fout, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MXU_PRECISION,
             preferred_element_type=jnp.float32)
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
@@ -620,7 +632,7 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         # Precision.HIGHEST: DEFAULT truncates fp32 operands to bf16 on
         # the MXU (~0.4% relative grad error; the CUDA reference is
         # fully fp32). The kernels are DMA/VPU-bound so this is ~free.
-        hi = jax.lax.Precision.HIGHEST
+        hi = MXU_PRECISION
         fdotg = jax.lax.dot_general(
             gc, fout, (((1,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)          # (PIX, K)
@@ -809,7 +821,7 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
         # truncate them per MXU pass; see _chunk_common)
         acc = acc + jax.lax.dot_general(
             ck["w"], fout, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MXU_PRECISION,
             preferred_element_type=jnp.float32)
         # blended AND alpha > 0.005 (strict, ref:forward.cu:512)
         hit = (ck["active"] & (ck["alpha"] > 0.005)) \
@@ -825,13 +837,13 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
             # in the reduction, no in-kernel transpose
             tscratch[slot, :sa, :] = jax.lax.dot_general(
                 semt, hit, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MXU_PRECISION,
                 preferred_element_type=jnp.float32)   # (sa, K)
             tscratch[slot, sa:sa + 1, :] = f[6 + n_out:7 + n_out, :]
         else:
             tscratch[slot, :, :sa] = jax.lax.dot_general(
                 hit, semt, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MXU_PRECISION,
                 preferred_element_type=jnp.float32)   # (K, sa)
         out_dma(k, slot).start()
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc

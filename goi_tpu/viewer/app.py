@@ -77,7 +77,7 @@ const stat=document.getElementById('stat');
 function view(){return {elev:el,azim:az,radius:r,w:640,h:480};}
 let drag=false, lx=0, ly=0;
 img.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
-window.onmouseup=()=>drag=false;
+window.onmouseup=()=>{if(drag){drag=false;dirty=true;}};  // full-res refine on release
 window.onmousemove=e=>{if(!drag)return;
  az-=0.4*(e.clientX-lx); el+=0.4*(e.clientY-ly);
  el=Math.max(-89,Math.min(89,el)); lx=e.clientX;ly=e.clientY;
@@ -97,8 +97,9 @@ async function loop(){
   const m=document.getElementById('mode').value;
   const o=document.getElementById('ovl').checked?1:0;
   const t0=performance.now();
+  const s=drag?0.5:1;  // preview frames at half res while orbiting
   const u=`/frame?elev=${el}&azim=${az}&radius=${r}&w=640&h=480`+
-          `&mode=${m}&overlay=${o}`;
+          `&mode=${m}&overlay=${o}&scale=${s}&fmt=jpeg`;
   try{const b=await (await fetch(u)).blob();
    img.src=URL.createObjectURL(b);
    stat.textContent=` ${(performance.now()-t0).toFixed(0)} ms`;
@@ -186,7 +187,13 @@ class QueryWebApp:
     def _cam(self, q: dict):
         from goi_tpu.app.orbit_ngp import NGPOrbitCamera
 
-        cam = NGPOrbitCamera(int(q.get("w", 640)), int(q.get("h", 480)),
+        # scale < 1: the reference GUI's interactive downscale policy
+        # (ref:utils/camera_utils.py:28-71) — preview frames render at
+        # reduced resolution (client upscales), full res on idle
+        sc = float(q.get("scale", 1.0))
+        w = max(16, int(round(int(q.get("w", 640)) * sc / 16)) * 16)
+        h = max(16, int(round(int(q.get("h", 480)) * sc / 16)) * 16)
+        cam = NGPOrbitCamera(w, h,
                              r=float(q.get("radius", 3.5)),
                              fovy=self.fovy_deg)
         cam.orbit_to(float(q.get("elev", 0.0)),

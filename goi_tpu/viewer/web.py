@@ -137,8 +137,12 @@ class WebViewer:
     def _frame(self, q: dict) -> bytes:
         from goi_tpu.app.orbit_ngp import NGPOrbitCamera
 
-        w = int(q.get("w", 640))
-        h = int(q.get("h", 480))
+        # scale < 1 renders a reduced-resolution preview (the reference
+        # GUI's interactive downscale policy, ref:utils/camera_utils.py:
+        # 28-71); the browser upscales the <img>
+        sc = float(q.get("scale", 1.0))
+        w = max(16, int(round(int(q.get("w", 640)) * sc / 16)) * 16)
+        h = max(16, int(round(int(q.get("h", 480)) * sc / 16)) * 16)
         cam = NGPOrbitCamera(w, h, r=float(q.get("radius", 3.5)),
                              fovy=self.fovy_deg)
         cam.orbit_to(float(q.get("elev", 0.0)),

@@ -38,6 +38,18 @@ def test_web_viewer_page_and_frame():
         assert img.shape == (48, 64, 3)
         assert calls == [(64, 48, "chair")]
 
+        # scale<1: reduced-resolution preview frames (the reference
+        # GUI's interactive downscale policy, ref:utils/camera_utils.py
+        # :28-71) — requested 64x48 at scale .5 renders 32x32 (16-px
+        # aligned), the browser upscales
+        r = urllib.request.urlopen(
+            base + "/frame?elev=10&azim=30&radius=4&w=64&h=48"
+            "&prompt=chair&scale=0.5", timeout=120)
+        import imageio.v2 as iio2
+        img = iio2.imread(io.BytesIO(r.read()))
+        assert img.shape == (32, 32, 3)
+        assert calls[-1] == (32, 32, "chair")
+
         import pytest
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(base + "/nope", timeout=30)
