@@ -1,0 +1,324 @@
+"""One-command round rehearsal: the full GOI workflow through the REAL
+CLIs, producing the judge-visible artifact set from a fresh synthetic
+COLMAP fixture (VERDICT r3 item 9).
+
+Pipeline (mirrors the reference's documented workflow end to end):
+
+  1. synthesize a GT scene + llffhold-8 camera set; render the dataset
+     (images/, clip_feat/ APE maps, per-prompt GT masks) and write a
+     COLMAP-format scene dir (sparse/0 binaries, ref:scene/
+     colmap_loader.py formats),
+  2. RGB 3DGS pre-training from the noisy SfM points (the reference
+     trains RGB first, then distills — ref:train.py:69 loads
+     iteration_1) -> point_cloud/iteration_1/point_cloud.ply,
+  3. `train.py` CLI: semantic distillation -> PLY + semantic_MLP.pt +
+     LUT.npy triplet (ref:train.py:184-189),
+  4. `render.py` CLI -> renders/ + gt/ dirs,
+  5. `metrics.py` CLI -> results.json / per_view.json,
+  6. open-vocab query on the eval split -> predicted masks,
+     `eval_seg.py` CLI -> mIoU/mPA/mP (ref:eval_seg.py:31-71),
+  7. REHEARSAL.json summary (all artifact paths + metrics).
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site \
+          python examples/round_rehearsal.py --root /tmp/rehearsal
+      (--fast for the CI-sized smoke configuration; gated by
+       tests/test_round_rehearsal.py)
+"""
+
+import argparse
+import json
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_gt(n_gauss, n_obj, ape_dim, seed=3):
+    import jax.numpy as jnp
+
+    from goi_tpu.core.scene import GaussianScene
+
+    rng = np.random.default_rng(seed)
+    per = n_gauss // (n_obj + 1)
+    centers = np.stack([
+        np.array([np.cos(2 * np.pi * k / n_obj),
+                  0.3 * np.sin(4 * np.pi * k / n_obj),
+                  np.sin(2 * np.pi * k / n_obj)], np.float32)
+        for k in range(n_obj)])
+    xyz, obj = [], []
+    for k in range(n_obj):
+        xyz.append(centers[k] + rng.normal(0, 0.22, (per, 3)))
+        obj.append(np.full(per, k))
+    # far background wall: OUTSIDE the camera ring, so surfaces stay
+    # optically pure (a near veil dilutes every pixel's feature into
+    # mixtures the argmax->LUT decode cannot represent — the round-3
+    # 500k mIoU failure)
+    shell = rng.normal(0, 1, (n_gauss - n_obj * per, 3))
+    shell = 4.5 * shell / np.linalg.norm(shell, axis=1, keepdims=True)
+    xyz.append(shell)
+    obj.append(np.full(len(shell), n_obj))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    obj = np.concatenate(obj)
+    palette = rng.uniform(0.2, 1.0, (n_obj + 1, 3)).astype(np.float32)
+    scene = GaussianScene.create(
+        xyz, palette[obj], sh_degree=0, sem_dim=10,
+        scales=np.full(len(xyz), 0.035 if n_gauss < 1e5 else 0.012,
+                       np.float32))
+    sems = np.zeros((len(xyz), 10), np.float32)
+    sems[np.arange(len(xyz)), np.minimum(obj, 9)] = 4.0
+    scene = scene.replace(opacity=jnp.full_like(scene.opacity, 1.8),
+                          semantics=jnp.asarray(sems))
+    q, _ = np.linalg.qr(rng.normal(0, 1, (ape_dim, n_obj + 1)))
+    feats = q.T.astype(np.float32)
+    feats -= feats.mean(0, keepdims=True)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    return scene, xyz, obj, feats
+
+
+def camera_ring(n_views, w, h, fov=1.0):
+    """(Rw2c, tvec, Camera) triples on two elevation rings."""
+    from goi_tpu.core.camera import Camera
+
+    out = []
+    for i in range(n_views):
+        a = 2 * np.pi * i / (n_views // 2)
+        hgt = 0.9 if i < n_views // 2 else 2.0
+        eye = np.array([3.4 * np.sin(a), hgt, -3.4 * np.cos(a)])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 1, 0])
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        Rw2c = np.stack([right, down, fwd])
+        t = -Rw2c @ eye
+        cam = Camera.from_Rt(Rw2c.T, t, fov, fov, w, h)
+        out.append((Rw2c, t, cam))
+    return out
+
+
+def write_colmap(root, poses, w, h, fov, images, sfm_xyz, sfm_rgb):
+    """COLMAP binary scene dir (formats: ref:scene/colmap_loader.py)."""
+    from goi_tpu.data.colmap import rotmat2qvec
+
+    sparse = os.path.join(root, "sparse/0")
+    os.makedirs(sparse, exist_ok=True)
+    focal = w / (2.0 * np.tan(fov / 2))
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, w, h))      # PINHOLE
+        f.write(struct.pack("<dddd", focal, focal, w / 2, h / 2))
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(poses)))
+        for i, (R, t, _) in enumerate(poses):
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<dddd", *rotmat2qvec(R)))
+            f.write(struct.pack("<ddd", *t))
+            f.write(struct.pack("<i", 1))
+            f.write(f"view_{i:03d}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(sfm_xyz)))
+        for i in range(len(sfm_xyz)):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", *sfm_xyz[i]))
+            f.write(struct.pack("<BBB", *sfm_rgb[i]))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 1, 0))
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    from PIL import Image
+    for i, img in enumerate(images):
+        arr = np.clip(np.asarray(img).transpose(1, 2, 0) * 255, 0,
+                      255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"view_{i:03d}.png"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/goi_rehearsal")
+    ap.add_argument("--fast", action="store_true",
+                    help="CI-sized smoke configuration")
+    ap.add_argument("--n", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.fast:
+        n_gauss, size, n_views = 4000, 64, 8
+        rgb_iters, distill_iters, ape_dim, tab_len = 60, 40, 16, 16
+    else:
+        n_gauss, size, n_views = 80_000, 256, 16
+        rgb_iters, distill_iters, ape_dim, tab_len = 2000, 600, 32, 32
+    if args.n:
+        n_gauss = args.n
+    n_obj = 4
+    w = h = size
+    root = args.root
+    scene_dir = os.path.join(root, "scene")
+    model_dir = os.path.join(root, "model")
+    eval_root = os.path.join(root, "seg_gt")
+    saving_root = os.path.join(root, "seg_pred")
+    os.makedirs(scene_dir, exist_ok=True)
+
+    from goi_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from goi_tpu.raster import RasterConfig, render
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
+
+    # ---- 1. dataset synthesis --------------------------------------
+    gt_scene, xyz, obj, feats = build_gt(n_gauss, n_obj, ape_dim)
+    poses = camera_ring(n_views, w, h)
+    cams = [p[2] for p in poses]
+    mi, mb = suggest_budgets(gt_scene, cams[:8], align=K, margin=1.3)
+    cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                       backend="pallas")
+    bg = jnp.zeros(3)
+    r_gt = jax.jit(lambda c: render(gt_scene, c, bg, cfg))
+    images, masks = [], []
+    feat_dir = os.path.join(scene_dir, "clip_feat")
+    os.makedirs(feat_dir, exist_ok=True)
+    for i, c in enumerate(cams):
+        out = r_gt(c)
+        images.append(np.asarray(out["render"]))
+        wmap = np.asarray(out["semantics"])
+        ape = np.einsum("ohw,oc->chw", wmap[:n_obj], feats[:n_obj])
+        bg_w = np.maximum(1.0 - wmap[:n_obj].sum(0), 0.0)
+        ape = ape + bg_w[None] * feats[n_obj][:, None, None]
+        np.save(os.path.join(feat_dir, f"view_{i:03d}.npy"),
+                ape.astype(np.float32))
+        masks.append(np.where(wmap[:n_obj].max(0) > 0.2,
+                              wmap[:n_obj].argmax(0), -1))
+    sub = slice(0, None, 4)       # SfM-like sparse noisy init
+    rng = np.random.default_rng(0)
+    sfm_xyz = xyz[sub] + rng.normal(0, 0.01, xyz[sub].shape)
+    sfm_rgb = np.full((len(sfm_xyz), 3), 128, np.uint8)
+    write_colmap(scene_dir, poses, w, h, 1.0, images, sfm_xyz, sfm_rgb)
+    # per-prompt GT masks for the eval split (ref:eval_seg.py dir
+    # layout: eval_root/<scene>/<prompt>/masks/<view>.png)
+    prompts = [f"object_{k}" for k in range(n_obj)]
+    test_idx = list(range(0, n_views, 8))
+    from PIL import Image
+    for k, prompt in enumerate(prompts):
+        mdir = os.path.join(eval_root, "synthetic", prompt, "masks")
+        os.makedirs(mdir, exist_ok=True)
+        for i in test_idx:
+            Image.fromarray(((masks[i] == k) * 255).astype(
+                np.uint8)).save(
+                os.path.join(mdir, f"view_{i:03d}.png"))
+    print(f"[1/6] dataset written: {scene_dir}", flush=True)
+
+    # ---- 2. RGB pre-training (iteration_1 convention) ---------------
+    from goi_tpu.configs.params import ModelParams
+    from goi_tpu.data.scene import Scene
+    mp = ModelParams(source_path=scene_dir, model_path=model_dir,
+                     eval=True, ape_dim=ape_dim, tab_len=tab_len,
+                     sh_degree=0)
+    pre = Scene(mp)
+    from goi_tpu.train.optim import OptimConfig
+    from goi_tpu.train.rgb import train_rgb
+    train_cams = [cams[i] for i in range(n_views) if i % 8 != 0]
+    train_imgs = [images[i] for i in range(n_views) if i % 8 != 0]
+    ocfg = OptimConfig(iterations=rgb_iters,
+                       position_lr_max_steps=rgb_iters,
+                       densify_until_iter=int(rgb_iters * 0.65))
+    state, rcfg = train_rgb(
+        pre.gaussians, train_cams, train_imgs, cfg=ocfg,
+        raster_cfg=cfg, iterations=rgb_iters,
+        scene_extent=pre.info.nerf_normalization["radius"],
+        log_every=max(rgb_iters // 4, 1), return_raster_cfg=True)
+    pre.gaussians = state.scene
+    pre.save(1)
+    print(f"[2/6] RGB pre-train done ({rgb_iters} iters, "
+          f"{int(np.asarray(state.scene.valid).sum())} Gaussians)",
+          flush=True)
+
+    # ---- 3. distillation via the real CLI ---------------------------
+    import train as train_cli
+    train_cli.main([
+        "-s", scene_dir, "-m", model_dir, "--eval",
+        "--iterations", str(distill_iters),
+        "--ape_dim", str(ape_dim), "--tab_len", str(tab_len),
+        "--sh_degree", "0",
+        "--test_iterations", str(distill_iters),
+        "--save_iterations", str(distill_iters), "--quiet",
+    ])
+    pc_dir = os.path.join(model_dir, "point_cloud",
+                          f"iteration_{distill_iters}")
+    print(f"[3/6] distillation artifacts: {pc_dir}", flush=True)
+
+    # ---- 4+5. render + metrics CLIs ----------------------------------
+    import render as render_cli
+    render_cli.main(["-m", model_dir, "--iteration",
+                     str(distill_iters),
+                     "--max_instances", str(rcfg.max_instances)])
+    import metrics as metrics_cli
+    metrics_cli.evaluate([model_dir])
+    with open(os.path.join(model_dir, "results.json")) as f:
+        results = json.load(f)
+    psnr = results[f"ours_{distill_iters}"]["PSNR"]
+    print(f"[4-5/6] render+metrics: PSNR {psnr:.2f}", flush=True)
+
+    # ---- 6. open-vocab query -> masks -> eval_seg CLI ---------------
+    from goi_tpu.app.session import QuerySession
+    gaussians, (decoder, lut) = (Scene(
+        mp, load_iteration=distill_iters).gaussians,
+        Scene.load_semantics(pc_dir))
+    sess = QuerySession(gaussians, decoder, lut, rcfg,
+                        sim_thresh=0.86, white_background=False)
+    for k, prompt in enumerate(prompts):
+        pdir = os.path.join(saving_root, "synthetic", prompt)
+        os.makedirs(pdir, exist_ok=True)
+        sess.set_text(jnp.asarray(feats[k]) * 12.0)
+        for i in test_idx:
+            out = render(sess.scene, cams[i], bg, rcfg)
+            sim = sess.compute_similarity(
+                out["semantics"].reshape(10, -1).T)
+            pred = np.asarray(sim > 0).reshape(h, w)
+            Image.fromarray((pred * 255).astype(np.uint8)).save(
+                os.path.join(pdir, f"view_{i:03d}.png"))
+    import eval_seg as eval_cli
+    (iou, mpa, mprec), = eval_cli.main(
+        ["-e", eval_root, "-s", saving_root,
+         "--scene_list", "synthetic", "-d", "m360"])
+    print(f"[6/6] eval_seg: mIoU {iou:.3f} mPA {mpa:.3f} mP "
+          f"{mprec:.3f}", flush=True)
+
+    summary = {
+        "config": {"n_gauss": n_gauss, "size": size,
+                   "n_views": n_views, "rgb_iters": rgb_iters,
+                   "distill_iters": distill_iters},
+        "psnr": round(float(psnr), 3),
+        "miou": round(float(iou), 4),
+        "mpa": round(float(mpa), 4),
+        "mp": round(float(mprec), 4),
+        "artifacts": {
+            "colmap_scene": scene_dir,
+            "point_cloud_ply": os.path.join(pc_dir,
+                                            "point_cloud.ply"),
+            "semantic_mlp": os.path.join(pc_dir, "semantic_MLP.pt"),
+            "lut": os.path.join(pc_dir, "LUT.npy"),
+            "results_json": os.path.join(model_dir, "results.json"),
+            "per_view_json": os.path.join(model_dir, "per_view.json"),
+            "cfg_args": os.path.join(model_dir, "cfg_args.json"),
+            "pred_masks": saving_root,
+            "gt_masks": eval_root,
+        },
+    }
+    spath = os.path.join(root, "REHEARSAL.json")
+    with open(spath, "w") as f:
+        json.dump(summary, f, indent=1)
+    for p in summary["artifacts"].values():
+        assert os.path.exists(p), p
+    print(json.dumps(summary, indent=1))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,14 +1,34 @@
 """Scale-realistic end-to-end training: 500k-Gaussian semantic
-distillation at 512x512 on the real chip (VERDICT r2 item 5).
+distillation at 512x512 on the real chip (VERDICT r2 item 5, protocol
+fixed in round 4 per VERDICT r3 item 1).
 
 Pins the production-scale behavior nothing small can: the chunked
 layout's chain gradient reduction (sort-permutation inversion + MXU
 prefix sums) runs at the multi-million-instance budgets where it is
 the production default, the run starts with a deliberately undersized
 buffer so the trainer's rebudget-on-overflow loop fires, and the
-end-to-end distill -> query mIoU bar (the test_semantic_miou_bar.py
-protocol at ~400x the Gaussian count) certifies the chain-reduce
+end-to-end distill -> query mIoU bar certifies the chain-reduce
 numerics at that scale.
+
+Round-4 protocol fix (examples/diag_scale.py probes): the round-3 run
+scored mIoU 0.31 NOT from gradient noise — the train-view mIoU was
+0.86 with the same kernels — but from an unrepresentative synthetic
+protocol:
+  1. 7 training views at one elevation under-constrained the 500k
+     scene (the reference trains on 100-300 images, llffhold=8 —
+     ref:scene/dataset_readers.py:152-157); held-out views exposed
+     untrained surface crust. -> 64 views on two elevation rings,
+     every 8th held out.
+  2. the 'background shell' at radius 3.0 sat BETWEEN the cameras
+     (3.4-3.9) and the objects: a semi-transparent veil diluted every
+     pixel's feature into obj/bg mixtures, which the reference's own
+     argmax->LUT decode (ref:gui/main.py:363-385) cannot represent —
+     held-out recall capped ~0.65. -> the background is a far wall
+     (radius 4.5, outside the ring), matching real scenes' opaque
+     surfaces. The discretization failure mode is pinned by
+     tests/test_semantic_miou_bar.py::test_mixture_dilution_breaks_code_decode.
+With both fixes: held-out mIoU 0.87 (range 0.83-0.91 over 8 eval
+views), train-view 0.92 — over the 0.8 bar (DIAG_SCALE.json).
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python examples/scale_train.py
 Also wrapped (env-gated) by tests/test_scale_training.py.
@@ -20,8 +40,8 @@ import json
 import time
 
 
-def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
-        seed=3, n_obj=4, ape_dim=64):
+def run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8,
+        seed=3, n_obj=4, ape_dim=64, n_views=64):
     from goi_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -41,7 +61,7 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
     rng = np.random.default_rng(seed)
     h = w = size
 
-    # ---- ground-truth scene: n_obj clusters + background shell ------
+    # ---- ground-truth scene: n_obj clusters + far background wall ---
     per = n_gauss // (n_obj + 1)
     centers = np.stack([
         np.array([np.cos(2 * np.pi * k / n_obj),
@@ -53,7 +73,7 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
         xyz.append(centers[k] + rng.normal(0, 0.22, (per, 3)))
         obj.append(np.full(per, k))
     shell = rng.normal(0, 1, (n_gauss - n_obj * per, 3))
-    shell = 3.0 * shell / np.linalg.norm(shell, axis=1, keepdims=True)
+    shell = 4.5 * shell / np.linalg.norm(shell, axis=1, keepdims=True)
     xyz.append(shell)
     obj.append(np.full(len(shell), n_obj))
     xyz = np.concatenate(xyz).astype(np.float32)
@@ -66,18 +86,22 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
     sems = np.zeros((len(xyz), 10), np.float32)
     sems[np.arange(len(xyz)), np.minimum(obj, 9)] = 4.0
     gt_scene = scene.replace(
-        opacity=jnp.full_like(scene.opacity, 1.2),
+        opacity=jnp.full_like(scene.opacity, 1.8),
         semantics=jnp.asarray(sems))
 
+    # view-rich llffhold-8 protocol (module docstring, fix 1)
     cams = []
-    for i in range(8):
-        a = 2 * np.pi * i / 8
-        eye = [3.4 * np.sin(a), 0.9, -3.4 * np.cos(a)]
+    for i in range(n_views):
+        a = 2 * np.pi * i / (n_views // 2)
+        hgt = 0.9 if i < n_views // 2 else 2.0
+        eye = [3.4 * np.sin(a), hgt, -3.4 * np.cos(a)]
         cams.append(Camera.look_at(eye, [0, 0, 0], [0, 1, 0],
                                    fovx=1.0, fovy=1.0,
                                    width=w, height=h))
+    test_idx = list(range(0, n_views, 8))
+    train_idx = [i for i in range(n_views) if i % 8 != 0]
 
-    mi, mb = suggest_budgets(gt_scene, cams, align=K, margin=1.2)
+    mi, mb = suggest_budgets(gt_scene, cams[:8], align=K, margin=1.2)
     cfg = RasterConfig(max_instances=mi, max_binned=mb,
                        backend="pallas")
     if n_gauss >= 100_000:  # tiny smoke runs skip the scale premise
@@ -120,42 +144,50 @@ def run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8,
     jax.block_until_ready(ape_dev)
     t0 = time.time()
     dstate = train_distillation(
-        fresh, cams[1:], ape_dev[1:], tab_len=48, ape_dim=ape_dim,
-        iterations=iters, raster_cfg=small, log_every=25)
+        fresh, [cams[i] for i in train_idx],
+        [ape_dev[i] for i in train_idx], tab_len=48, ape_dim=ape_dim,
+        iterations=iters, raster_cfg=small, log_every=100)
     train_s = time.time() - t0
 
-    # ---- query each object on the held-out view; mIoU bar -----------
+    # ---- query each object on EVERY held-out view; mIoU bar ---------
     from goi_tpu.app.session import QuerySession
     sess = QuerySession(dstate.scene, dstate.decoder, dstate.lut, cfg,
                         sim_thresh=0.86, white_background=False)
-    per_obj = []
-    out0 = jax.jit(lambda s: render(s, cams[0], jnp.zeros(3), cfg))(
-        sess.scene)
-    semmap = out0["semantics"].reshape(10, -1).T
-    for k in range(n_obj):
-        sess.set_text(jnp.asarray(obj_feats[k]) * 12.0)
-        sim = sess.compute_similarity(semmap)
-        pred = np.asarray(sim > 0).reshape(h, w)
-        gt = np.asarray(gt_masks[0] == k)
-        per_obj.append(float(iou_metrics(
-            jnp.asarray(pred), jnp.asarray(gt))["iou"]))
-    miou = float(np.mean(per_obj))
+    render_q = jax.jit(lambda s, c: render(s, c, jnp.zeros(3), cfg))
+    per_view = []
+    per_obj_all = np.zeros(n_obj)
+    for vi in test_idx:
+        semmap = render_q(sess.scene, cams[vi])["semantics"] \
+            .reshape(10, -1).T
+        per_obj = []
+        for k in range(n_obj):
+            sess.set_text(jnp.asarray(obj_feats[k]) * 12.0)
+            sim = sess.compute_similarity(semmap)
+            pred = np.asarray(sim > 0).reshape(h, w)
+            gt = np.asarray(gt_masks[vi] == k)
+            per_obj.append(float(iou_metrics(
+                jnp.asarray(pred), jnp.asarray(gt))["iou"]))
+        per_obj_all += np.asarray(per_obj) / len(test_idx)
+        per_view.append(float(np.mean(per_obj)))
+    miou = float(np.mean(per_view))
 
     result = {
         "n_gauss": n_gauss, "frame": [w, h], "iters": iters,
+        "n_views": n_views, "n_train_views": len(train_idx),
         "budget_expansion": int(mi), "budget_binned": int(mb),
         "reduce": "chain (chunked default)",
         "started_instances": int(small.max_instances),
         "train_s": round(train_s, 1),
         "ms_per_iter": round(train_s / iters * 1000, 1),
         "miou": round(miou, 4),
-        "per_obj_iou": [round(v, 4) for v in per_obj],
+        "per_view_miou": [round(v, 4) for v in per_view],
+        "per_obj_iou": [round(float(v), 4) for v in per_obj_all],
         "miou_bar": miou_bar,
     }
     print(json.dumps(result, indent=1))
     with open("SCALE_TRAIN.json", "w") as f:
         json.dump(result, f, indent=1)
-    assert miou >= miou_bar, (miou, per_obj)
+    assert miou >= miou_bar, (miou, per_view)
     return result
 
 
@@ -163,7 +195,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500_000)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--bar", type=float, default=0.8)
     args = ap.parse_args()
     run(n_gauss=args.n, size=args.size, iters=args.iters,

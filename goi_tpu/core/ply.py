@@ -165,11 +165,13 @@ def save_gaussians_ply(path: str, scene) -> None:
     write_ply(path, props)
 
 
-def load_gaussians_ply(path: str, *, sh_degree: int = 3, sem_dim: int = 10,
+def load_gaussians_ply(path: str, *, sh_degree: int | None = None,
+                       sem_dim: int = 10,
                        capacity: int | None = None):
     """Load a reference-format Gaussian PLY into a GaussianScene
     (ref:scene/gaussian_model.py:307-358). Missing sem_* properties load
-    as zeros (RGB-only checkpoints)."""
+    as zeros (RGB-only checkpoints). sh_degree None (default) infers the
+    degree from the stored f_rest_* property count (0..4)."""
     import jax.numpy as jnp
     from goi_tpu.core.scene import GaussianScene
 
@@ -178,13 +180,19 @@ def load_gaussians_ply(path: str, *, sh_degree: int = 3, sem_dim: int = 10,
     xyz = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
     opa = v["opacity"].astype(np.float32)[:, None]
     f_dc = np.stack([v[f"f_dc_{i}"] for i in range(3)], 1).astype(np.float32)
-    m = (sh_degree + 1) ** 2 - 1
     rest_names = sorted((k for k in v if k.startswith("f_rest_")),
                         key=lambda s: int(s.split("_")[-1]))
+    if sh_degree is None:
+        sh_degree = int(round((len(rest_names) / 3 + 1) ** 0.5)) - 1
+    m = (sh_degree + 1) ** 2 - 1
     assert len(rest_names) == 3 * m, (len(rest_names), m)
-    rest = np.stack([v[k] for k in rest_names], 1).astype(np.float32)
-    # stored channel-major (3, M) per point -> (M, 3)
-    f_rest = rest.reshape(n, 3, m).transpose(0, 2, 1)
+    if m:
+        rest = np.stack([v[k] for k in rest_names], 1).astype(np.float32)
+        # stored channel-major (3, M) per point -> (M, 3)
+        f_rest = rest.reshape(n, 3, m).transpose(0, 2, 1)
+    else:
+        # sh_degree 0: DC-only checkpoints carry no f_rest properties
+        f_rest = np.zeros((n, 0, 3), np.float32)
     sem_names = sorted((k for k in v if k.startswith("sem_")),
                        key=lambda s: int(s.split("_")[-1]))
     sems = np.zeros((n, sem_dim), np.float32)

@@ -23,6 +23,26 @@ Round 4: honors `config.layout` — the pallas backend runs the
 PRODUCTION chunked layout (floor-walk kernels + chain/transported-key
 reduction) per tile slice, so multi-chip and single-chip production
 execute the same kernels; 'aligned' remains as the legacy fallback.
+
+Round 4 (memory scaling, VERDICT r3 item 6): exchange="rows" replaces
+the full splat all-gather of step 2 with a TILE-ROW-BUCKETED
+all_to_all: each device packs, per destination, only the splats whose
+screen rect intersects that destination's tile rows, so a device
+receives ~N/D rows (+ slice-boundary overlap) instead of all N — peak
+per-device splat activation scales ~1/D. This is the SURVEY §5
+"partition the pixels x Gaussians axis" design realized spatially
+rather than by depth: row bucketing keeps every tile's full
+front-to-back blend on ONE device (bit-identical inputs to the
+single-device path — no cross-shard (color, T) compositing, no
+early-termination-cutoff semantics to re-derive), while the
+depth-bucketed ring variant would exchange the same ~N/D rows but pay
+partial-frame compositing traffic on top. The all_to_all transposes to
+an all_to_all of splat gradients (each row's grad returns to its
+owner), so the backward rides ICI exactly like the forward. Packs are
+fixed-capacity (static shapes under jit) with deterministic
+lowest-global-index-first truncation; the true demand is returned as
+`exchange_demand` for rebudget-on-overflow, mirroring the binning
+budget contract.
 """
 
 from __future__ import annotations
@@ -40,6 +60,73 @@ from goi_tpu.raster.preprocess import TILE, Splats, preprocess
 from goi_tpu.raster.render import RasterConfig, _effective_reduce
 
 
+def _exchange_rows(sp: Splats, axis: str, n_dev: int, gy_local: int,
+                   cap: int):
+    """Tile-row-bucketed splat exchange: every device packs, for each
+    destination d, its local splats whose screen rect intersects d's
+    tile rows [d*gy_local, (d+1)*gy_local), then one all_to_all swaps
+    the packs. Returns (Splats with n_dev*cap rows, per-pair demand).
+
+    Pack order is local-index order and packs concatenate source-major,
+    so surviving rows keep the GLOBAL index order — the tile sort's
+    tie-breaking then matches the single-device path bit-for-bit.
+    Overflowing rows (demand > cap) are dropped deterministically
+    (highest local index first); callers rebudget off the returned
+    demand, mirroring the binning overflow contract."""
+    n_loc = sp.valid.shape[0]
+    row_lo = sp.rect_min[:, 1]            # tile-row extent [lo, hi)
+    row_hi = sp.rect_max[:, 1]
+    has_area = sp.valid & (sp.rect_max[:, 0] > sp.rect_min[:, 0]) \
+        & (row_hi > row_lo)
+
+    idx_all, ok_all, demand = [], [], []
+    for d in range(n_dev):
+        m = has_area & (row_lo < (d + 1) * gy_local) \
+            & (row_hi > d * gy_local)
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        demand.append(pos[-1] + 1)
+        keep = m & (pos < cap)
+        # scatter local row index into its pack slot (cap sentinel
+        # catches both masked and overflow rows)
+        slot = jnp.where(keep, pos, cap)
+        idx = jnp.zeros(cap + 1, jnp.int32).at[slot].set(
+            jnp.arange(n_loc, dtype=jnp.int32), mode="drop")[:cap]
+        idx_all.append(idx)
+        ok_all.append(jnp.zeros(cap + 1, jnp.bool_).at[slot].set(
+            True, mode="drop")[:cap])
+    idx_all = jnp.stack(idx_all)                   # (D, cap)
+    ok_all = jnp.stack(ok_all)                     # (D, cap)
+    demand = jnp.stack(demand)                     # (D,)
+
+    def pack_and_swap(x):
+        rows = jnp.where(
+            ok_all.reshape(ok_all.shape + (1,) * (x.ndim - 1)),
+            x[idx_all.reshape(-1)].reshape((n_dev, cap) + x.shape[1:]),
+            0)
+        got = jax.lax.all_to_all(rows, axis, split_axis=0,
+                                 concat_axis=0, tiled=True)
+        return got.reshape((n_dev * cap,) + x.shape[1:])
+
+    # ok_all is already in pack layout — only the swap applies
+    valid = jax.lax.all_to_all(ok_all, axis, split_axis=0,
+                               concat_axis=0, tiled=True).reshape(-1)
+    full = Splats(
+        mean2d=pack_and_swap(sp.mean2d),
+        depth=pack_and_swap(sp.depth),
+        conic=pack_and_swap(sp.conic),
+        opacity=pack_and_swap(sp.opacity),
+        color=pack_and_swap(sp.color),
+        semantics=pack_and_swap(sp.semantics),
+        radius=pack_and_swap(sp.radius),
+        rect_min=pack_and_swap(sp.rect_min),
+        rect_max=pack_and_swap(sp.rect_max),
+        tiles_touched=pack_and_swap(sp.tiles_touched),
+        valid=valid,
+    )
+    # worst pair demand anywhere on the mesh drives rebudgeting
+    return full, jax.lax.pmax(jnp.max(demand), axis)
+
+
 def render_sharded(
     scene: GaussianScene,
     cam: Camera,
@@ -48,11 +135,20 @@ def render_sharded(
     mesh: Mesh,
     *,
     axis: str = "model",
+    exchange: str = "gather",
+    exchange_cap: int | None = None,
 ):
     """Differentiable sharded render. `scene` arrays must be sharded on
     their leading axis over `axis` (see dist.mesh.shard_scene); the
     camera/bg are replicated. Returns the same dict contract as
-    render() (radii/visibility stay shard-local -> gathered)."""
+    render() (radii/visibility stay shard-local -> gathered).
+
+    exchange: "gather" all-gathers every splat to every device (memory
+    ~N/device); "rows" runs the tile-row-bucketed all_to_all (memory
+    ~exchange_cap * D = O(N/D) rows/device; adds `exchange_demand` to
+    the output dict). exchange_cap is the per-(src,dst) pack capacity —
+    default ceil(margin * N_local / D) with margin 2, enough for
+    uniformly spread scenes; callers rebudget off `exchange_demand`."""
     n_dev = mesh.shape[axis]
     grid_x = (cam.width + TILE - 1) // TILE
     grid_y = (cam.height + TILE - 1) // TILE
@@ -68,25 +164,40 @@ def render_sharded(
     from goi_tpu.raster.pallas_blend import blend_tiles_pallas
     from goi_tpu.raster.blend import blend_tiles, tiles_to_image
 
+    n_local = scene.valid.shape[0] // n_dev
+    if exchange == "rows":
+        cap = exchange_cap or max(-(-2 * n_local // n_dev), 64)
+    elif exchange != "gather":
+        raise ValueError(f"unknown exchange {exchange!r}")
+
     def fn(params, valid, bg):
         # local scene shard
         shard = scene.with_params(params).replace(valid=valid)
         sp = preprocess(shard, cam)
 
-        # gather screen-space splats from all shards (differentiable:
-        # transpose = reduce-scatter of splat grads over ICI)
-        def gather(x):
-            return jax.lax.all_gather(x, axis, tiled=True)
+        if exchange == "rows":
+            # tile-row-bucketed all_to_all: each device receives only
+            # the ~N/D splats touching its rows (module docstring)
+            full, demand = _exchange_rows(sp, axis, n_dev, gy_local,
+                                          cap)
+        else:
+            # gather screen-space splats from all shards
+            # (differentiable: transpose = reduce-scatter of splat
+            # grads over ICI)
+            demand = jnp.int32(0)
 
-        full = Splats(
-            mean2d=gather(sp.mean2d), depth=gather(sp.depth),
-            conic=gather(sp.conic), opacity=gather(sp.opacity),
-            color=gather(sp.color), semantics=gather(sp.semantics),
-            radius=gather(sp.radius), rect_min=gather(sp.rect_min),
-            rect_max=gather(sp.rect_max),
-            tiles_touched=gather(sp.tiles_touched),
-            valid=gather(sp.valid),
-        )
+            def gather(x):
+                return jax.lax.all_gather(x, axis, tiled=True)
+
+            full = Splats(
+                mean2d=gather(sp.mean2d), depth=gather(sp.depth),
+                conic=gather(sp.conic), opacity=gather(sp.opacity),
+                color=gather(sp.color), semantics=gather(sp.semantics),
+                radius=gather(sp.radius), rect_min=gather(sp.rect_min),
+                rect_max=gather(sp.rect_max),
+                tiles_touched=gather(sp.tiles_touched),
+                valid=gather(sp.valid),
+            )
 
         # restrict to this device's tile rows [row0, row0 + gy_local)
         m = jax.lax.axis_index(axis)
@@ -149,20 +260,28 @@ def render_sharded(
                              h_local, cam.width)
         alp = tiles_to_image(alpha_t[..., None], grid_x, gy_local,
                              h_local, cam.width)
-        return img, sem, dep, alp, sp.radius
+        return img, sem, dep, alp, sp.radius, demand
 
     pspec = {k: P(axis) for k in scene.params()}
-    img, sem, dep, alp, radii = jax.shard_map(
+    img, sem, dep, alp, radii, demand = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(pspec, P(axis), P()),
         out_specs=(P(None, axis, None), P(None, axis, None),
-                   P(None, axis, None), P(None, axis, None), P(axis)),
+                   P(None, axis, None), P(None, axis, None), P(axis),
+                   P()),
         check_vma=False,  # pallas_call shapes carry no vma annotations
     )(scene.params(), scene.valid, jnp.asarray(bg, jnp.float32))
 
     h = cam.height
-    return {
+    out = {
         "render": img[:, :h], "semantics": sem[:, :h],
         "depth": dep[:, :h], "alpha": alp[:, :h],
         "radii": radii, "visibility_filter": radii > 0,
     }
+    if exchange == "rows":
+        # worst per-(src,dst) pack demand vs exchange_cap: demand > cap
+        # means rows were dropped — re-call with a larger exchange_cap
+        out["exchange_demand"] = demand
+        out["exchange_cap"] = cap
+        out["exchange_rows_per_device"] = n_dev * cap
+    return out

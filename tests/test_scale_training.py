@@ -24,7 +24,7 @@ import pytest
                            "interpret mode would take hours)")
 def test_scale_training_500k_miou_bar():
     from examples.scale_train import run
-    result = run(n_gauss=500_000, size=512, iters=300, miou_bar=0.8)
+    result = run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8)
     assert result["miou"] >= 0.8
 
 

@@ -125,3 +125,63 @@ def test_distill_query_miou_bar():
     # paper operates at 0.6-0.8 mIoU on real scenes. Demand a bar that
     # only a working distill+query chain can clear.
     assert miou >= 0.85, (miou, per_obj)
+
+
+def test_mixture_dilution_breaks_code_decode():
+    """Pins the round-3 500k scale-run failure mode (VERDICT r4
+    diagnosis, examples/diag_scale.py): the reference's query decode
+    quantizes each pixel to ONE codebook prototype
+    (argmax(softmax(MLP(f))*10) -> LUT row, ref:gui/main.py:363-385),
+    so it is only faithful when per-pixel features are near-PURE. A
+    semi-transparent veil between camera and surface dilutes every
+    pixel into obj/background mixtures; the snapped prototype then
+    falls below the similarity threshold for the true object and
+    recall collapses (measured 0.31 mIoU at 500k). With pure features
+    the same chain is near-perfect. This is a property of the decode
+    DESIGN (faithful to the reference), so the scale protocol keeps
+    its background OUTSIDE the camera ring (examples/scale_train.py,
+    'far wall') the way real opaque scenes do."""
+    rng = np.random.default_rng(0)
+    ape_dim, n_obj = 32, 4
+    q, _ = np.linalg.qr(rng.normal(0, 1, (ape_dim, n_obj + 1)))
+    feats = q.T.astype(np.float32)
+    feats -= feats.mean(0, keepdims=True)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    bg = feats[n_obj]
+
+    # codebook of PURE prototypes (the k-means fixed point when
+    # training pixels are pure; tab rows = the classes)
+    lut = jnp.asarray(feats)
+
+    from goi_tpu.query.similarity import ape_similarity
+
+    def decode_sim(pixel_feats, text):
+        # argmax-to-prototype quantization, then the reference's
+        # sigmoid-dot thresholding at 0.86
+        sims = pixel_feats @ np.asarray(lut).T
+        snapped = np.asarray(lut)[sims.argmax(1)]
+        snapped /= np.maximum(
+            np.linalg.norm(snapped, axis=1, keepdims=True), 1e-8)
+        s = ape_similarity(jnp.asarray(snapped), jnp.asarray(text))
+        return np.asarray(s) >= 0.86
+
+    text0 = feats[0] * 12.0
+
+    pure = np.tile(feats[0], (64, 1))
+    assert decode_sim(pure, text0).all()          # pure -> recalled
+
+    # 45/55 obj/bg mixture (a veil with ~0.55 transmittance loss):
+    # nearest prototype is the BACKGROUND row -> below threshold for
+    # the true object -> false negative, exactly the recall collapse
+    mix = 0.45 * feats[0] + 0.55 * bg
+    mixed = np.tile(mix / np.linalg.norm(mix), (64, 1))
+    assert not decode_sim(mixed, text0).any()
+
+    # the mixture itself (no quantization) still clears the threshold
+    # comfortably — the information loss is in the argmax snap, not
+    # the feature: quantization-robustness would need soft decoding,
+    # a deliberate deviation we do NOT take (parity with the
+    # reference's decode)
+    s_raw = np.asarray(ape_similarity(jnp.asarray(mixed),
+                                      jnp.asarray(text0)))
+    assert (s_raw >= 0.86).all()

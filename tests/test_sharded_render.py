@@ -137,3 +137,106 @@ def test_sharded_chunked_gradients_match_single_device(reduce):
         frac = np.mean(d > tol)
         assert frac <= 0.005, (k, frac)
         np.testing.assert_allclose(a, b, rtol=0, atol=5e-5, err_msg=k)
+
+
+def test_rows_exchange_forward_and_grads_match_single_device():
+    """exchange='rows' (tile-row-bucketed all_to_all, VERDICT r3
+    item 6): identical frame + gradients vs single device — the
+    exchange feeds each device bit-identical splat rows in the same
+    global order, so even the tile sort's tie-breaking matches."""
+    mesh, scene, cam = _setup(4)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = render(scene, cam, bg, CFG)
+    sh = shard_scene(scene, mesh)
+    out = jax.jit(lambda s: render_sharded(
+        s, cam, bg, CFG, mesh, exchange="rows"))(sh)
+    assert int(out["exchange_demand"]) <= int(out["exchange_cap"])
+    for key in ("render", "semantics", "depth", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]),
+            rtol=3e-5, atol=3e-5, err_msg=key)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 64))
+
+    def loss_single(params):
+        o = render(scene.with_params(params), cam, bg, CFG)
+        return jnp.sum(o["render"] * tgt) + jnp.sum(o["semantics"])
+
+    def loss_sharded(params):
+        o = render_sharded(scene.with_params(params), cam, bg, CFG,
+                           mesh, exchange="rows")
+        return jnp.sum(o["render"] * tgt) + jnp.sum(o["semantics"])
+
+    g1 = jax.jit(jax.grad(loss_single))(scene.params())
+    g2 = jax.jit(jax.grad(loss_sharded))(sh.params())
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        d = np.abs(a - b)
+        tol = 5e-5 + 2e-4 * np.abs(a)
+        assert np.mean(d > tol) <= 0.005, k
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-3, err_msg=k)
+
+
+def test_rows_exchange_memory_scales_inverse_with_devices():
+    """Per-device splat activation ~1/D: the received row count (the
+    array the binning/blend actually consume) shrinks when the mesh
+    grows, vs the all-gather's constant N (VERDICT r3 item 6 'Done'
+    bar: measured via array-size accounting on the CPU mesh).
+    Production-regime footprints (small splats, minimal row-slice
+    overlap); cap probed from the reported demand, so no rows drop."""
+    scene = make_random_scene(n=2048, seed=5, capacity=2048)
+    scene = scene.replace(
+        scaling=jnp.full_like(scene.scaling, float(np.log(0.01))))
+    cam = make_test_camera(width=64, height=256)  # 16 tile rows
+    bg = jnp.zeros(3)
+    ref = render(scene, cam, bg, CFG)
+    n = scene.valid.shape[0]
+    rows = {}
+    for d in (4, 8):
+        mesh = make_mesh(1, d)
+        sh = shard_scene(scene, mesh)
+        probe = jax.jit(lambda s, m=mesh: render_sharded(
+            s, cam, bg, CFG, m, exchange="rows",
+            exchange_cap=n // d))(sh)       # lossless probe
+        cap = int(probe["exchange_demand"])
+        out = jax.jit(lambda s, m=mesh, c=cap: render_sharded(
+            s, cam, bg, CFG, m, exchange="rows", exchange_cap=c))(sh)
+        assert int(out["exchange_demand"]) <= cap
+        rows[d] = d * cap                   # received rows per device
+        np.testing.assert_allclose(np.asarray(out["render"]),
+                                   np.asarray(ref["render"]),
+                                   rtol=3e-5, atol=3e-5)
+    # per-pair demand ~ n/D^2 (+ boundary overlap): doubling the mesh
+    # should shed at least ~30% of the per-device activation, and both
+    # must sit well below the all-gather's N rows
+    assert rows[8] <= 0.7 * rows[4], rows
+    assert rows[4] < 0.6 * n, rows
+
+
+def test_rows_exchange_overflow_reports_demand():
+    """Undersized exchange_cap: demand is reported above cap (the
+    rebudget signal) and the render still completes with the
+    deterministically-truncated row set."""
+    mesh, scene, cam = _setup(4)
+    bg = jnp.zeros(3)
+    out = jax.jit(lambda s: render_sharded(
+        s, cam, bg, CFG, mesh, exchange="rows", exchange_cap=8))(
+        shard_scene(scene, mesh))
+    assert int(out["exchange_demand"]) > 8
+    assert out["render"].shape == (3, 64, 64)
+
+
+def test_rows_exchange_chunked_pallas_layout():
+    """rows exchange composes with the production chunked pallas
+    layout (interpret mode on CPU)."""
+    mesh, scene, cam = _setup(4)
+    cfg = RasterConfig(max_instances=1 << 14, backend="pallas",
+                       layout="chunked")
+    bg = jnp.zeros(3)
+    ref = render(scene, cam, bg, CFG)
+    out = jax.jit(lambda s: render_sharded(
+        s, cam, bg, cfg, mesh, exchange="rows"))(
+        shard_scene(scene, mesh))
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]),
+                               rtol=5e-5, atol=5e-5)
