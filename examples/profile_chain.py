@@ -105,10 +105,20 @@ def main():
                        cot)
 
     # chain reduce alone on synthetic row-major instance grads (the
-    # shape the narrow transpose emits)
+    # shape the round-4 sublane-padded transpose emits: 64-lane rows)
+    from goi_tpu.raster.pallas_blend import GATHER_LANES
     n_chunks_cap = budget // K + grid_x * grid_y + 1
     rows_fake = jnp.asarray(rng.normal(
-        0, 1, (n_chunks_cap * K, d + 1)).astype(np.float32))
+        0, 1, (n_chunks_cap * K, GATHER_LANES)).astype(np.float32))
+    fm_fake = jnp.asarray(rng.normal(
+        0, 1, (24, n_chunks_cap * K)).astype(np.float32))
+
+    # stage: the pad-sublanes + transpose that feeds the chain
+    def pad_transpose(fm):
+        fm = jnp.pad(fm, ((0, GATHER_LANES - fm.shape[0]), (0, 0)))
+        return jnp.sum(fm.T[:, 0])
+
+    ms_padT = timed(pad_transpose, fm_fake)
 
     def chain_all(rows):
         outs = _reduce_transported_chain(
@@ -137,27 +147,62 @@ def main():
 
     ms_inv = timed(inv_only, rows_fake)
 
-    # stage: expansion-order gather only (64-lane padded)
+    # stage: expansion-order gather only (64-lane rows, no relayout —
+    # the round-3 pad/slice around this gather cost ~45 ms)
     idx_fake = jnp.asarray(
         rng.integers(0, n_chunks_cap * K, m).astype(np.int32))
 
     def gather_only(rows):
-        from goi_tpu.raster.pallas_blend import GATHER_LANES
-        rows_g = jnp.pad(rows[:, :d],
-                         ((0, 0), (0, GATHER_LANES - d)))
-        r = jax.lax.optimization_barrier(
-            rows_g.at[idx_fake].get(mode="promise_in_bounds"))[:, :d]
+        r = rows.at[idx_fake].get(mode="promise_in_bounds")
         return jnp.sum(r)
 
     ms_gather = timed(gather_only, rows_fake)
 
     # stage: blocked segment reduce only (prefix + blocksum + boundary)
-    rows_exp = jnp.asarray(rng.normal(0, 1, (m, d)).astype(np.float32))
+    rows_exp = jnp.asarray(rng.normal(0, 1, (m, GATHER_LANES))
+                           .astype(np.float32))
 
     def blocked_only(rows):
-        return jnp.sum(_blocked_segment_reduce(rows, bounds, d))
+        return jnp.sum(_blocked_segment_reduce(rows, bounds,
+                                               GATHER_LANES))
 
     ms_blocked = timed(blocked_only, rows_exp)
+
+    # sub-decomposition of the blocked reduce: tri prefixes alone,
+    # boundary gather alone, searchsorted+blocksum alone
+    from goi_tpu.raster.pallas_blend import CUMSUM_BLOCK
+    nb = -(-m // CUMSUM_BLOCK)
+    p_bounds = jnp.minimum(bounds, m)
+
+    def tri_only(rows):
+        xb = jnp.pad(rows, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))             .reshape(nb, CUMSUM_BLOCK, GATHER_LANES)
+        ri = jnp.arange(CUMSUM_BLOCK)
+        tri = (ri[:, None] > ri[None, :]).astype(jnp.float32)
+        inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        return jnp.sum(inner[:, -1, :])
+
+    ms_tri = timed(tri_only, rows_exp)
+
+    def boundary_only(rows):
+        r = rows.at[p_bounds].get(mode="promise_in_bounds",
+                                  indices_are_sorted=True)
+        return jnp.sum(r)
+
+    ms_boundary = timed(boundary_only, rows_exp)
+
+    def blocksum_only(rows):
+        q = p_bounds // CUMSUM_BLOCK
+        gb = jnp.searchsorted(
+            q, jnp.arange(nb, dtype=q.dtype), side="right"
+        ).astype(jnp.int32) - 1
+        tot = rows[:nb]
+        acc = jax.ops.segment_sum(tot, jnp.clip(gb, 0, n),
+                                  num_segments=n + 1)[:n]
+        return jnp.sum(acc)
+
+    ms_blocksum = timed(blocksum_only, rows_exp)
 
     table = {
         "n": n, "budget": int(budget),
@@ -166,9 +211,13 @@ def main():
         "blend_vjp_scatter_ms": round(ms_scatter, 3),
         "chain_reduce_ms": round(ms_chain_reduce, 3),
         "bwd_kernel_est_ms": round(ms_chain - ms_chain_reduce, 3),
+        "pad_transpose_ms": round(ms_padT, 3),
         "perm_inversion_ms": round(ms_inv, 3),
         "expansion_gather_ms": round(ms_gather, 3),
         "blocked_segment_reduce_ms": round(ms_blocked, 3),
+        "blocked_tri_prefix_ms": round(ms_tri, 3),
+        "blocked_boundary_gather_ms": round(ms_boundary, 3),
+        "blocked_searchsorted_blocksum_ms": round(ms_blocksum, 3),
     }
     print(json.dumps(table, indent=1))
     with open("CHAIN_PROFILE.json", "w") as f:

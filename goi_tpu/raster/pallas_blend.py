@@ -1020,22 +1020,18 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
         row_p, mode="drop")
     ok = stream_pos < n_rows
     idx = jnp.where(ok, stream_pos, 0)
-    # XLA's TPU row gather has a fast path at >= 64-lane rows (~15
-    # ns/row measured at 2.4M rows) while 16-32-lane rows hit a
-    # per-element path ~2x slower — pad the d(~20)-lane rows to
-    # GATHER_LANES and barrier so the consumer slice cannot narrow the
-    # gather back down (the pad/slice copies are bandwidth-trivial).
-    # d >= GATHER_LANES (sem_dim > 54): rows are already wide enough.
-    if d < GATHER_LANES:
-        rows_g = jnp.pad(rows[:, :d],
-                         ((0, 0), (0, GATHER_LANES - d)))
-        r = jax.lax.optimization_barrier(
-            rows_g.at[idx].get(mode="promise_in_bounds"))[:, :d]
-    else:
-        r = rows[:, :d].at[idx].get(mode="promise_in_bounds")
+    # rows arrive 64-lane row-major straight from the transpose
+    # (_blend_core_bwd pads sublanes BEFORE transposing) — XLA's TPU
+    # row gather has a fast path at >= 64-lane rows (12.7 ns/row
+    # measured at 2.4M rows, MICRO_GATHER.json) while 16-32-lane rows
+    # run ~2-3x slower; the round-3 in-chain lane pad/slice relayouts
+    # cost ~45 ms on top and are gone. The reduce runs at the full
+    # lane width too (the tri matmuls pad to 128 MXU lanes either
+    # way); per-column slicing happens once at n_gauss scale.
+    r = rows.at[idx].get(mode="promise_in_bounds")
     r = jnp.where(ok[:, None], r, 0.0)
     p = jnp.minimum(bounds, m)
-    acc = _blocked_segment_reduce(r, p, d)              # (n_gauss, d)
+    acc = _blocked_segment_reduce(r, p, r.shape[1])     # (n_gauss, gl)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
@@ -1161,10 +1157,19 @@ def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
     )(starts, ends, cbase, feat, out, g,
       jnp.zeros(out_sd.shape, jnp.float32))
     if chunked:
-        # ONE narrow transpose (d+1 real rows only) to row-major for
-        # the reduction (~6 ms at 2.4M instances)
+        # ONE transpose to row-major for the reduction. Round 4: pad
+        # the SUBLANE dim to GATHER_LANES first (a cheap sequential
+        # pad of the feature-major buffer), so the transpose emits
+        # 64-lane rows directly — the round-3 pipeline transposed the
+        # narrow d+1 rows and then lane-padded (m, 21) -> (m, 64)
+        # inside the chain, and that lane relayout at 2.4M rows cost
+        # ~45 ms (CHAIN_PROFILE expansion_gather 75.6 ms vs 30.2 ms
+        # for the bare 64-lane gather, MICRO_GATHER.json).
         d_keyed = 7 + 3 + s_dim + 1
-        dfeat = dfeat[:d_keyed].T
+        gl = GATHER_LANES if d_keyed <= GATHER_LANES else dfeat.shape[0]
+        if dfeat.shape[0] < gl:
+            dfeat = jnp.pad(dfeat, ((0, gl - dfeat.shape[0]), (0, 0)))
+        dfeat = dfeat[:gl].T                     # (m, gl) 64-lane rows
     # rows never covered by a tile segment hold prezeroed memory; the
     # reductions mask (aligned: sentinel gids / sentinel stream_pos) or
     # harmlessly absorb (chunked: zero rows) them
