@@ -134,14 +134,15 @@ def main():
     def inv_only(rows):
         walk = (binning.tile_start // K) * K
         pad = binning.chunk_base * K - walk
-        counts_t = binning.tile_end - binning.tile_start
         kept = binning.tile_end[-1]
-        pad_p = jnp.repeat(pad, counts_t, total_repeat_length=m)
+        mark = jnp.zeros(m, jnp.int32).at[binning.tile_start].max(
+            pad, mode="drop")
+        pad_p = jax.lax.cummax(mark)
         row_p = jnp.arange(m, dtype=jnp.int32) + pad_p
         row_p = jnp.where(jnp.arange(m, dtype=jnp.int32) < kept, row_p,
                           jnp.int32(2 ** 30))
-        stream_pos = jnp.full(m, jnp.int32(2 ** 30)).at[
-            binning.sort_slots].set(row_p, mode="drop")
+        _, stream_pos = jax.lax.sort([binning.sort_slots, row_p],
+                                     num_keys=1)
         return jnp.sum(stream_pos.astype(jnp.float32)) + jnp.sum(
             rows[0])
 

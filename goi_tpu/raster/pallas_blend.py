@@ -1010,14 +1010,25 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
     n_rows = rows.shape[0]
     walk = (starts // K) * K
     pad = cbase * K - walk                              # (T,)
-    counts_t = ends - starts
     kept = ends[-1]   # contiguous stream: last tile's end == total kept
-    pad_p = jnp.repeat(pad, counts_t, total_repeat_length=m)
+    # pad per sorted position. pad is monotone non-decreasing over the
+    # tiles that own rows (for consecutive nonempty tiles t -> t'',
+    # start_t'' == end_t, so pad_t'' - pad_t = K*(ceil((end_t-walk_t)/K)
+    # - end_t//K + start_t//K) in {0, K}; empty tiles carry the same
+    # value as the next nonempty one), so a scatter-max of pad[t] at
+    # each segment start + cummax fills the segments — ~3 ms vs the
+    # 12.6 ms the jnp.repeat this replaces cost in-situ at 2.4M rows
+    # (lowered to a per-element table gather).
+    mark = jnp.zeros(m, jnp.int32).at[starts].max(pad, mode="drop")
+    pad_p = jax.lax.cummax(mark)
     row_p = jnp.arange(m, dtype=jnp.int32) + pad_p
     row_p = jnp.where(jnp.arange(m, dtype=jnp.int32) < kept, row_p,
                       jnp.int32(2 ** 30))
-    stream_pos = jnp.full(m, jnp.int32(2 ** 30)).at[sort_slots].set(
-        row_p, mode="drop")
+    # invert the sort permutation by SORTING (sort_slots, row_p) on the
+    # expansion slot: measured 6.3 ms vs 13.4 ms for the equivalent
+    # scatter inversion at 2.38M rows (sort_slots is a full permutation
+    # of arange(m), so the sorted payload IS stream_pos)
+    _, stream_pos = jax.lax.sort([sort_slots, row_p], num_keys=1)
     ok = stream_pos < n_rows
     idx = jnp.where(ok, stream_pos, 0)
     # rows arrive 64-lane row-major straight from the transpose
