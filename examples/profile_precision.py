@@ -88,7 +88,14 @@ def main():
         pb.MXU_PRECISION = prec
         fwd = jax.jit(lambda p: render(scene.with_params(p), cam,
                                        jnp.zeros(3), cfg)["render"])
-        img = np.asarray(fwd(params))
+        try:
+            img = np.asarray(fwd(params))
+        except NotImplementedError as e:
+            # Mosaic's dot_general lowering supports DEFAULT/HIGHEST
+            # only (no bf16_3x): record the gap instead of crashing
+            results[name] = {"unsupported": str(e)[:120]}
+            print(name, "unsupported in Mosaic kernels", flush=True)
+            continue
         g = jax.jit(jax.grad(loss_fn))(params)
         jax.block_until_ready(g)
         g = {k: np.asarray(v) for k, v in g.items()}

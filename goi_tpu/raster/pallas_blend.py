@@ -94,6 +94,40 @@ GATHER_LANES = 64  # row width for instance-scale XLA gathers: >= 64
 MXU_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _split3(x):
+    """Three-chunk bf16 mantissa decomposition of fp32 x:
+    x == x1 + x2 + x3 exactly (8+8+8 >= 24 mantissa bits), every chunk
+    bf16-representable."""
+    x1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - x1
+    x2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return x1, x2, r - x2
+
+
+def _dot_e(x, e, dims, *, split_rhs=False):
+    """fp32-grade dot where ONE operand (e) is bf16-EXACT (the 0/1 tri
+    matrices, the quarter-integer p6 moment basis, the 0/1 hit masks):
+    split only the general operand into three bf16 mantissa chunks and
+    run three single-pass (DEFAULT) MXU products — each pass is exact,
+    the fp32 accumulation matches Precision.HIGHEST at half the MXU
+    passes (HIGHEST decomposes BOTH operands: 6 passes). Falls back to
+    one plain pass when MXU_PRECISION is DEFAULT (the profiling knob).
+    split_rhs=True splits the second argument instead (call with
+    x=exact matrix)."""
+    if MXU_PRECISION == jax.lax.Precision.DEFAULT:
+        return jax.lax.dot_general(
+            x, e, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+    d = partial(jax.lax.dot_general, dimension_numbers=dims,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+    if split_rhs:
+        e1, e2, e3 = _split3(e)
+        return d(x, e1) + d(x, e2) + d(x, e3)
+    x1, x2, x3 = _split3(x)
+    return d(x1, e) + d(x2, e) + d(x3, e)
+
+
 def _pack_impl(mean2d, conic, opacity, color, semantics, depth, gid,
                with_gid: bool = False):
     """Gather per-instance features, feature-major: (D_pad, Npad+K).
@@ -203,7 +237,80 @@ def _reduce_instance_grads_sorted(g, perm, n_gauss, s_dim):
 CUMSUM_BLOCK = 512   # rows per triangular-matmul prefix block
 
 
-def _blocked_segment_reduce(rows, bounds, d):
+def _prefix_kernel(rows_ref, okf_ref, inner_ref, tot_ref, *, nb, blk,
+                   masked):
+    """One (blk, d) block per grid step: masked block-LOCAL exclusive
+    row-prefix (strict-lower tri matmuls in SUB chunks with a carried
+    chunk total) + the block total. Grid step nb writes the extra
+    all-zero block that covers boundary lookups at p == nb*blk."""
+    i = pl.program_id(0)
+
+    tot_ref[:, :] = jnp.zeros(tot_ref.shape, jnp.float32)
+
+    @pl.when(i == nb)
+    def _():
+        inner_ref[:, :] = jnp.zeros(inner_ref.shape, jnp.float32)
+
+    @pl.when(i < nb)
+    def _():
+        x = rows_ref[:, :]
+        if masked:
+            # invalid rows (dropped/truncated instances gathered from
+            # row 0) zeroed here instead of a full-buffer XLA select
+            x = x * okf_ref[:, :]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+        tril = (ri > ci).astype(jnp.float32)
+        carry = jnp.zeros((1, x.shape[1]), jnp.float32)
+        outs = []
+        for j in range(blk // SUB):
+            xc = x[j * SUB:(j + 1) * SUB, :]
+            pc = _dot_e(tril, xc, (((1,), (0,)), ((), ())),
+                        split_rhs=True) + carry
+            outs.append(pc)
+            carry = pc[SUB - 1:SUB, :] + xc[SUB - 1:SUB, :]
+        inner_ref[:, :] = jnp.concatenate(outs, axis=0)
+        tot_ref[0:1, :] = carry
+
+
+def _prefix_blocks(rows, okf, blk):
+    """rows (nb*blk, d) [+ optional (nb*blk, 1) f32 mask] ->
+    (block-local exclusive prefixes ((nb+1)*blk, d) with a trailing
+    zero block, block totals (nb, d))."""
+    nbblk, d = rows.shape
+    nb = nbblk // blk
+    masked = okf is not None
+    operands = [rows] + ([okf] if masked else [])
+    in_specs = [pl.BlockSpec((blk, d),
+                             lambda i: (jnp.minimum(i, nb - 1), 0))]
+    if masked:
+        in_specs.append(pl.BlockSpec(
+            (blk, 1), lambda i: (jnp.minimum(i, nb - 1), 0)))
+    kern = partial(_prefix_kernel, nb=nb, blk=blk, masked=masked)
+    if not masked:
+        def kern(rows_ref, inner_ref, tot_ref):
+            return _prefix_kernel(rows_ref, None, inner_ref, tot_ref,
+                                  nb=nb, blk=blk, masked=False)
+    inner, tot = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),
+            # Mosaic needs >= 8 sublanes per block: row 0 of each
+            # 8-row group carries the total, rows 1-7 are zero
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(((nb + 1) * blk, d), jnp.float32),
+            jax.ShapeDtypeStruct(((nb + 1) * 8, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*operands)
+    return inner, tot[:nb * 8:8]
+
+
+def _blocked_segment_reduce(rows, bounds, d, okf=None):
     """Per-segment sums of expansion-ordered rows with BLOCK-LOCAL
     error scaling. rows: (m, d) in expansion (Gaussian-major) order;
     bounds: (n_gauss+1,) non-decreasing segment boundaries already
@@ -233,22 +340,24 @@ def _blocked_segment_reduce(rows, bounds, d):
     blocked-prefix, PARITY.md deviation 3's class, with error bounded
     by block/segment — not global — magnitude."""
     m, n_gauss = rows.shape[0], bounds.shape[0] - 1
-    nb = -(-m // CUMSUM_BLOCK)
-    rows = jnp.pad(rows, ((0, nb * CUMSUM_BLOCK - m), (0, 0)))
-    xb = rows.reshape(nb, CUMSUM_BLOCK, d)
-    ri = jnp.arange(CUMSUM_BLOCK)
-    tri = (ri[:, None] > ri[None, :]).astype(jnp.float32)
-    # HIGHEST: the 0/1 tri is bf16-exact; multi-pass decomposition of
-    # xb keeps true fp32 products (see _reduce_instance_grads_cumsum)
-    inner = jnp.einsum("ij,bjd->bid", tri, xb,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    tot = inner[:, -1, :] + xb[:, -1, :]                # (nb, d)
-    # block-LOCAL prefix lookup at the segment boundaries — one sorted
-    # gather; the appended zero block covers p == nb*B
-    inner_flat = jnp.concatenate(
-        [inner, jnp.zeros((1, CUMSUM_BLOCK, d), jnp.float32)]
-    ).reshape(-1, d)
+    # production budgets are K=256-aligned, so the larger block divides
+    # exactly; the pad (a full-buffer copy in XLA) only triggers for
+    # arbitrary test sizes
+    blk = next(b for b in (CUMSUM_BLOCK, 256, SUB) if m % b == 0
+               or b == SUB)
+    if m % blk:
+        rows = jnp.pad(rows, ((0, -m % blk), (0, 0)))
+        if okf is not None:
+            okf = jnp.pad(okf, ((0, -m % blk), (0, 0)))
+    nb = rows.shape[0] // blk
+    # Block-local exclusive prefixes + block totals in ONE pallas pass
+    # (in XLA the einsum lowered to a convolution sandwiched between two
+    # full-buffer 3-D layout copies, the ok-mask was a separate 600 MB
+    # select, and the appended zero block forced a whole-buffer pad copy
+    # — ~13 ms of glue at 2.4M rows for 2.6 ms of MXU work; the kernel
+    # folds mask+prefix+tot and writes the zero block in its last grid
+    # step)
+    inner_flat, tot = _prefix_blocks(rows, okf, blk)
     p = jnp.minimum(bounds, m)                          # (n_gauss+1,)
     if d < GATHER_LANES:
         # >= 64-lane rows hit XLA's fast row-gather path (see
@@ -265,7 +374,7 @@ def _blocked_segment_reduce(rows, bounds, d):
     # whole blocks [p_g//B, p_{g+1}//B) -> Gaussian g: block b belongs
     # to the unique g with q[g] <= b < q[g+1] (empty for q[g]==q[g+1]);
     # blocks past the last boundary land on the n_gauss sentinel row
-    q = p // CUMSUM_BLOCK
+    q = p // blk
     gb = jnp.searchsorted(
         q, jnp.arange(nb, dtype=q.dtype), side="right"
     ).astype(jnp.int32) - 1
@@ -315,8 +424,9 @@ def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
     ok = stream_pos < (n_rows - K)
     idx = jnp.where(ok, stream_pos, 0)
     rows = g.at[idx].get(mode="promise_in_bounds")      # (m, DOUT)
-    rows = jnp.where(ok[:, None], rows, 0.0)
-    acc = _blocked_segment_reduce(rows, bounds, DOUT)   # (n_gauss, DOUT)
+    acc = _blocked_segment_reduce(
+        rows, bounds, DOUT,
+        okf=ok.astype(jnp.float32)[:, None])            # (n_gauss, DOUT)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
@@ -362,11 +472,8 @@ def _lane_cumsum(x):
     parts = []
     carry = jnp.zeros((x.shape[0], 1), jnp.float32)
     for j in range(K // SUB):
-        cs = jax.lax.dot_general(
-            x[:, j * SUB:(j + 1) * SUB], tri,
-            (((1,), (0,)), ((), ())),
-            precision=MXU_PRECISION,
-            preferred_element_type=jnp.float32) + carry
+        cs = _dot_e(x[:, j * SUB:(j + 1) * SUB], tri,
+                    (((1,), (0,)), ((), ()))) + carry
         parts.append(cs)
         carry = cs[:, SUB - 1:SUB]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
@@ -420,10 +527,9 @@ def _chunk_common(f, p6, tx0, ty0, off, start, end, t_carry):
         -cb,                                  # px*py
         -0.5 * cc,                            # py^2
     ], axis=0)                                # (6, K)
-    power2 = jax.lax.dot_general(             # power + log(opa)
+    power2 = _dot_e(                          # power + log(opa)
         p6, coef, (((1,), (0,)), ((), ())),
-        precision=MXU_PRECISION,
-        preferred_element_type=jnp.float32)   # (PIX, K)
+        split_rhs=True)                       # (PIX, K)
     raw = jnp.exp(power2)                     # == opa * exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, raw)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) + off
@@ -665,9 +771,9 @@ def _bwd_kernel(start_ref, end_ref, cbase_ref, feat_ref, out_res_ref,
         # different rounding — the reference's atomicAdd order is
         # nondeterministic anyway). ref:cuda_rasterizer/backward.cu:
         # 598-621.
-        mom = jax.lax.dot_general(
-            p6, dpow, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)          # (6, K)
+        mom = _dot_e(
+            p6, dpow, (((0,), (0,)), ((), ())),
+            split_rhs=True)                              # (6, K)
         m0, m1, m2 = mom[0:1, :], mom[1:2, :], mom[2:3, :]
         m3, m4, m5 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
         x_l, y_l = ck["x_l"], ck["y_l"]                  # (1, K)
@@ -835,16 +941,15 @@ def _trace_kernel(start_ref, end_ref, cbase_ref, feat_ref, semt_ref,
             # feature-major (sa, K) lift + the transported Gaussian-id
             # key (feat row 6+n_out) as one more row — no index gather
             # in the reduction, no in-kernel transpose
-            tscratch[slot, :sa, :] = jax.lax.dot_general(
-                semt, hit, (((0,), (0,)), ((), ())),
-                precision=MXU_PRECISION,
-                preferred_element_type=jnp.float32)   # (sa, K)
+            # hit is 0/1 (bf16-exact): 3-pass one-sided split
+            tscratch[slot, :sa, :] = _dot_e(
+                semt, hit, (((0,), (0,)), ((), ())))  # (sa, K)
             tscratch[slot, sa:sa + 1, :] = f[6 + n_out:7 + n_out, :]
         else:
-            tscratch[slot, :, :sa] = jax.lax.dot_general(
+            # hit is 0/1 (bf16-exact): 3-pass one-sided split
+            tscratch[slot, :, :sa] = _dot_e(
                 hit, semt, (((0,), (0,)), ((), ())),
-                precision=MXU_PRECISION,
-                preferred_element_type=jnp.float32)   # (K, sa)
+                split_rhs=True)                       # (K, sa)
         out_dma(k, slot).start()
         return k + 1, ck["t_next"], t_blend * ck["blend_factor"], acc
 
@@ -1040,9 +1145,12 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
     # lane width too (the tri matmuls pad to 128 MXU lanes either
     # way); per-column slicing happens once at n_gauss scale.
     r = rows.at[idx].get(mode="promise_in_bounds")
-    r = jnp.where(ok[:, None], r, 0.0)
     p = jnp.minimum(bounds, m)
-    acc = _blocked_segment_reduce(r, p, r.shape[1])     # (n_gauss, gl)
+    # invalid rows masked INSIDE the prefix kernel (a separate XLA
+    # select materialized 600 MB here)
+    acc = _blocked_segment_reduce(
+        r, p, r.shape[1],
+        okf=ok.astype(jnp.float32)[:, None])            # (n_gauss, gl)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
