@@ -122,6 +122,10 @@ def _exchange_rows(sp: Splats, axis: str, n_dev: int, gy_local: int,
         rect_max=pack_and_swap(sp.rect_max),
         tiles_touched=pack_and_swap(sp.tiles_touched),
         valid=valid,
+        # exchanged splats get resliced to local tile rows below, so
+        # the preprocess-time cell tables no longer apply: force the
+        # rect-walk fallback instead of exchanging them
+        cell_sel=jnp.full(valid.shape + (2,), -1.0),
     )
     # worst pair demand anywhere on the mesh drives rebudgeting
     return full, jax.lax.pmax(jnp.max(demand), axis)
@@ -197,6 +201,10 @@ def render_sharded(
                 rect_max=gather(sp.rect_max),
                 tiles_touched=gather(sp.tiles_touched),
                 valid=gather(sp.valid),
+                # resliced below: force the rect-walk fallback (see
+                # the rows-exchange note above)
+                cell_sel=jnp.full(
+                    (sp.valid.shape[0] * n_dev, 2), -1.0),
             )
 
         # restrict to this device's tile rows [row0, row0 + gy_local)
@@ -215,6 +223,7 @@ def render_sharded(
             rect_max=jnp.stack([full.rect_max[:, 0], rmax_y], -1),
             tiles_touched=jnp.where(full.valid, area, 0),
             valid=full.valid & (area > 0),
+            cell_sel=jnp.full(full.valid.shape + (2,), -1.0),
         )
 
         local_ng = jax.tree.map(jax.lax.stop_gradient, local)

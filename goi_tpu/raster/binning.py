@@ -37,7 +37,31 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from goi_tpu.raster.preprocess import TILE, Splats
+from goi_tpu.raster.preprocess import TILE, Splats, cell_min_q
+
+
+def _decode_cell(sel_lo, sel_hi, local, x0, y0, w_i):
+    """Instance-local index -> tile coords. Exact-count Gaussians
+    (cell_sel >= 0, preprocess counted only passing cells of a <= 3x3
+    rect) read the local-th nibble of the packed select table — the
+    flat 3x3 cell index of the local-th passing cell; fallback
+    Gaussians (sel_lo < 0: big rects, non-PSD conics, resliced shards)
+    keep the rect row-major walk (matching duplicateWithKeys,
+    ref:cuda_rasterizer/rasterizer_impl.cu:70-95) with the in-stream
+    cull as their filter."""
+    fb = sel_lo < 0.0
+    packed = jnp.where(local < 6, sel_lo, sel_hi)
+    shift = jnp.where(local < 6, local, local - 6)
+    # nibble extract in exact f32 arithmetic (values < 16^6 < 2^24)
+    sh = jnp.clip(shift, 0, 5)
+    c = jnp.floor(packed * jnp.ldexp(jnp.float32(1), -4 * sh))
+    c = (c - 16.0 * jnp.floor(c / 16.0)).astype(jnp.int32)
+    c = jnp.clip(c, 0, 8)
+    tx_f = x0 + local % w_i
+    ty_f = y0 + local // w_i
+    tx = jnp.where(fb, tx_f, x0 + c % 3)
+    ty = jnp.where(fb, ty_f, y0 + c // 3)
+    return tx, ty
 
 
 @jax.tree_util.register_dataclass
@@ -136,7 +160,11 @@ def _expand_instances(sp: Splats, *, grid_x: int, grid_y: int,
         (jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 1) - 1)
     depth_bits = jax.lax.bitcast_convert_type(
         sp.depth.astype(jnp.float32), jnp.int32)
-    cols = [rect, base, depth_bits]
+    cols = [rect, base, depth_bits,
+            jax.lax.bitcast_convert_type(
+                sp.cell_sel[:, 0].astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(
+                sp.cell_sel[:, 1].astype(jnp.float32), jnp.int32)]
     if cull:
         # alpha >= 1/255 <=> Q <= q_cut, Q the conic quadratic form;
         # same cutoff/guard as the opacity-aware binning radius
@@ -165,15 +193,20 @@ def _expand_instances(sp: Splats, *, grid_x: int, grid_y: int,
         indices_are_sorted=True, mode="promise_in_bounds")
     rect_i = inst_info[:, 0]
     local = slots - inst_info[:, 1]
-    # row-major walk of the rect, matching duplicateWithKeys' y-outer
-    # x-inner loop (ref:rasterizer_impl.cu:70-95).
+    # row-major rect walk for fallback Gaussians (matching
+    # duplicateWithKeys' y-outer x-inner loop,
+    # ref:rasterizer_impl.cu:70-95); packed-nibble cell select for
+    # exact-count Gaussians (see _decode_cell)
     w_i = (rect_i & 0x3FF) + 1
-    tx = (rect_i >> 20) + local % w_i
-    ty = ((rect_i >> 10) & 0x3FF) + local // w_i
+    tx, ty = _decode_cell(
+        jax.lax.bitcast_convert_type(inst_info[:, 3], jnp.float32),
+        jax.lax.bitcast_convert_type(inst_info[:, 4], jnp.float32),
+        local, rect_i >> 20, (rect_i >> 10) & 0x3FF, w_i)
     in_range = slots < total
     keep = in_range
     if cull:
-        fx = jax.lax.bitcast_convert_type(inst_info[:, 3:9], jnp.float32)
+        fx = jax.lax.bitcast_convert_type(inst_info[:, 5:11],
+                                          jnp.float32)
         px, py = fx[:, 0], fx[:, 1]
         ca, cb, cc = fx[:, 2], fx[:, 3], fx[:, 4]
         qc = fx[:, 5]
@@ -183,28 +216,9 @@ def _expand_instances(sp: Splats, *, grid_x: int, grid_y: int,
         # d -> -d, so the sign convention vs the kernel's (mean - pix)
         # is immaterial.
         lx = (tx * TILE).astype(jnp.float32) - px
-        ux = lx + (TILE - 1)
         ly = (ty * TILE).astype(jnp.float32) - py
-        uy = ly + (TILE - 1)
-        inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
-        # exact min of the (positive-definite) quadratic over the box:
-        # 0 if the mean is inside, else the min over the four edges —
-        # each edge is a convex 1-D quadratic whose clamped stationary
-        # point is its exact minimum
-        ca_s = jnp.maximum(ca, 1e-20)
-        cc_s = jnp.maximum(cc, 1e-20)
-
-        def q_at(dx, dy):
-            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-
-        dy_l = jnp.clip(-cb * lx / cc_s, ly, uy)
-        dy_u = jnp.clip(-cb * ux / cc_s, ly, uy)
-        dx_l = jnp.clip(-cb * ly / ca_s, lx, ux)
-        dx_u = jnp.clip(-cb * uy / ca_s, lx, ux)
-        min_q = jnp.minimum(
-            jnp.minimum(q_at(lx, dy_l), q_at(ux, dy_u)),
-            jnp.minimum(q_at(dx_l, ly), q_at(dx_u, uy)))
-        min_q = jnp.where(inside, 0.0, min_q)
+        min_q = cell_min_q(lx, lx + (TILE - 1), ly, ly + (TILE - 1),
+                           ca, cb, cc)
         # non-positive-definite conics (det <= 0 never blends a pixel:
         # the kernel's power <= 0 test): keep, stay conservative
         pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
@@ -386,8 +400,9 @@ def _expand_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         sp.mean2d[:, 0], sp.mean2d[:, 1],                      # 6,7
         sp.conic[:, 0], sp.conic[:, 1], sp.conic[:, 2],        # 8-10
         q_cut,                                                 # 11
+        sp.cell_sel[:, 0], sp.cell_sel[:, 1],                  # 12,13
     ]
-    table = jnp.stack(cols, axis=0)                            # (12, N)
+    table = jnp.stack(cols, axis=0)                            # (14, N)
 
     slots = jnp.arange(n_inst, dtype=jnp.int32)
     g_idx = jnp.arange(counts.shape[0], dtype=jnp.int32)
@@ -409,32 +424,16 @@ def _expand_chunked(sp: Splats, *, grid_x: int, grid_y: int,
     count_i = rows[4].astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(rows[5], jnp.int32)
     local = slots - base_i
-    tx = x0 + local % w_i
-    ty = y0 + local // w_i
+    tx, ty = _decode_cell(rows[12], rows[13], local, x0, y0, w_i)
     keep = (slots < demand) & (local < count_i)
     if cull:
         px, py = rows[6], rows[7]
         ca, cb, cc = rows[8], rows[9], rows[10]
         qc = rows[11]
-        ca_s = jnp.maximum(ca, 1e-20)
-        cc_s = jnp.maximum(cc, 1e-20)
         lx = (tx * TILE).astype(jnp.float32) - px
-        ux = lx + (TILE - 1)
         ly = (ty * TILE).astype(jnp.float32) - py
-        uy = ly + (TILE - 1)
-        inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
-
-        def q_at(dx, dy):
-            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-
-        dy_l = jnp.clip(-cb * lx / cc_s, ly, uy)
-        dy_u = jnp.clip(-cb * ux / cc_s, ly, uy)
-        dx_l = jnp.clip(-cb * ly / ca_s, lx, ux)
-        dx_u = jnp.clip(-cb * uy / ca_s, lx, ux)
-        min_q = jnp.minimum(
-            jnp.minimum(q_at(lx, dy_l), q_at(ux, dy_u)),
-            jnp.minimum(q_at(dx_l, ly), q_at(dx_u, uy)))
-        min_q = jnp.where(inside, 0.0, min_q)
+        min_q = cell_min_q(lx, lx + (TILE - 1), ly, ly + (TILE - 1),
+                           ca, cb, cc)
         pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
         keep = keep & ((min_q <= qc) | ~pd)
     tile = jnp.where(keep, ty * grid_x + tx, num_tiles)

@@ -70,6 +70,9 @@ K = 256          # instances per chunk (2x the lane width: fewer
 SUB = 128        # tri-matmul block (the MXU lane width)
 PIX = TILE * TILE
 
+CUMPROD_SCAN = False  # lane cumprod via Hillis-Steele roll-multiply
+#                      scan instead of exp(cumsum(log q))
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -234,7 +237,9 @@ def _reduce_instance_grads_sorted(g, perm, n_gauss, s_dim):
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
 
-CUMSUM_BLOCK = 512   # rows per triangular-matmul prefix block
+CUMSUM_BLOCK = 512   # rows per prefix block: 2048 measured only ~1 ms
+#                      faster at 1M while quadrupling the block-local
+#                      rounding bound the parity bars are set against
 
 
 def _prefix_kernel(rows_ref, okf_ref, inner_ref, tot_ref, *, nb, blk,
@@ -553,7 +558,19 @@ def _chunk_common(f, p6, tx0, ty0, off, start, end, t_carry):
     # vs the fp32 XLA path. The tri matrix is 0/1 (bf16-exact), so the
     # multi-pass decomposition restores true fp32 cumsums; the kernels
     # are DMA/VPU-bound, so the extra MXU passes are ~free.
-    cp = jnp.exp(_lane_cumsum(jnp.log(q)))
+    if CUMPROD_SCAN:
+        # Hillis-Steele product scan: log2(K) roll+select+multiply
+        # rounds, no transcendentals (measured against the log-space
+        # MXU route below on chip; see BASELINE.md round-5 notes)
+        cp = q
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        s = 1
+        while s < K:
+            cp = cp * jnp.where(lane >= s, jnp.roll(cp, s, axis=1),
+                                1.0)
+            s *= 2
+    else:
+        cp = jnp.exp(_lane_cumsum(jnp.log(q)))
     p_incl = t_carry * cp
     # exclusive prefix by division (q >= 0.01 since alpha <= 0.99):
     # one VPU pass instead of roll + lane-0 select
