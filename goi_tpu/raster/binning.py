@@ -96,6 +96,11 @@ class Binning:
     # payload). The chain gradient reduction inverts it lazily in the
     # backward to map expansion order -> backward row index.
     sort_slots: Optional[jax.Array] = None   # (max_instances,) int32
+    # chunked + export_perm: g_stream[r] = Gaussian owning expansion
+    # slot r (already computed for the expansion's table gather; round
+    # 5 exports it so the chain reduce derives its dense segment-start
+    # indicators by one diff instead of a 1M-row scatter).
+    g_stream: Optional[jax.Array] = None     # (max_instances,) int32
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y"))
@@ -473,7 +478,7 @@ def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         sp, grid_x=grid_x, grid_y=grid_y, n_inst=n_inst, cull=cull,
         use_mono=use_mono)
 
-    sort_slots = None
+    sort_slots = g_stream_out = None
     if export_perm:
         # carry the expansion index as a payload (~2 ms at 2.4M): the
         # chain reduce's permutation
@@ -481,6 +486,7 @@ def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         tile_sorted, _, gid, sort_slots = jax.lax.sort(
             (tile, depth_bits, g_stream, slots), num_keys=2,
             is_stable=True)
+        g_stream_out = g_stream
     else:
         tile_sorted, _, gid = jax.lax.sort(
             (tile, depth_bits, g_stream), num_keys=2, is_stable=True)
@@ -498,7 +504,8 @@ def bin_splats_chunked(sp: Splats, *, grid_x: int, grid_y: int,
         jnp.int32)
     return Binning(point_list=gid, tile_start=starts, tile_end=ends,
                    num_instances=raw_total, num_slots=demand,
-                   chunk_base=chunk_base, sort_slots=sort_slots)
+                   chunk_base=chunk_base, sort_slots=sort_slots,
+                   g_stream=g_stream_out)
 
 
 def chunk_capacity(max_instances: int, num_tiles: int,

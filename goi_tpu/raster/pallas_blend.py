@@ -389,6 +389,246 @@ def _blocked_segment_reduce(rows, bounds, d, okf=None):
     return lb[1:] - lb[:-1] + blocksum
 
 
+def _prefix_boundary_kernel(glo_ref, rows_ref, ind_ref, okf_ref,
+                            lba_ref, lbb_ref, tot_ref, lbscr, sem, *,
+                            nb, blk, d, masked):
+    """Fused block prefix + BOUNDARY COMPACTION (round 5): one grid
+    step computes a block's masked exclusive row-prefix (as
+    _prefix_kernel) and immediately compacts the prefix values at the
+    block's segment boundaries — rank-one-hot @ L on the MXU — then
+    DMAs the compacted (blk, 128) tile to lb_ref at the block's first
+    boundary index. This removes the full inner-prefix HBM round trip
+    AND the 1M-row boundary gather (~11.7 ms at the 1M headline) that
+    _blocked_segment_reduce pays.
+
+    Correctness of the overlapping writes: boundary VALUES occupy
+    [g0_b, g1_b) — disjoint and contiguous across blocks; rows past
+    cnt are written 0 and then overwritten by the NEXT block's tile
+    (consecutive DMAs are serialized: wait(b-1) before start(b), which
+    costs nothing since DMA b-1 completes under block b's compute).
+    Rows never written (after the last block) satisfy p >= m and are
+    masked to zero by the caller — which is also their correct
+    BLOCK-LOCAL prefix value (the whole-block tots supply the rest;
+    see _blocked_segment_reduce's identity).
+
+    ind is the dense segment-start indicator (ind[r] = 1 iff r ==
+    bounds[g] for some g; dense streams make it bijective below m) —
+    derived by the caller from the binning's g_stream by one diff.
+    lb rows past the last block's boundaries stay UNWRITTEN (garbage);
+    the caller masks every row >= g_m to zero, so no zero-init alias
+    is needed (jnp.where selects — garbage NaNs do not propagate)."""
+    b = pl.program_id(0)
+    slot = jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():
+        # constant-zero pad lanes (d..128) of both scratch slots
+        lbscr[0, :, d:] = jnp.zeros((blk, lbscr.shape[2] - d),
+                                    jnp.float32)
+        lbscr[1, :, d:] = jnp.zeros((blk, lbscr.shape[2] - d),
+                                    jnp.float32)
+
+    x = rows_ref[:, :]
+    if masked:
+        x = x * okf_ref[:, :]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    tril = (ri > ci).astype(jnp.float32)
+    carry = jnp.zeros((1, d), jnp.float32)
+    outs = []
+    for j in range(blk // SUB):
+        xc = x[j * SUB:(j + 1) * SUB, :]
+        pc = _dot_e(tril, xc, (((1,), (0,)), ((), ())),
+                    split_rhs=True) + carry
+        outs.append(pc)
+        carry = pc[SUB - 1:SUB, :] + xc[SUB - 1:SUB, :]
+    el = jnp.concatenate(outs, axis=0)          # (blk, d) EXCLUSIVE
+    tot_ref[0:1, :] = carry
+    tot_ref[1:, :] = jnp.zeros((tot_ref.shape[0] - 1, d), jnp.float32)
+
+    # inclusive boundary rank within the block. ind arrives ROW-form,
+    # 8-sublane padded ((8, blk) block, row 0 real): a (blk, 1) column
+    # would need either a lax.transpose (a Mosaic sublane->lane shuffle
+    # loop) or an MXU identity contraction per block — both measured
+    # ~2 us/block, eating the fusion's win
+    ind_row = ind_ref[0:1, :]                    # (1, blk) 0/1 f32
+    tri = _tri()
+    parts = []
+    rcarry = jnp.zeros((1, 1), jnp.float32)
+    for j in range(blk // SUB):
+        cs = jax.lax.dot_general(
+            ind_row[:, j * SUB:(j + 1) * SUB], tri,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32) + rcarry
+        parts.append(cs)
+        rcarry = cs[:, SUB - 1:SUB]
+    rank_row = jnp.concatenate(parts, axis=1).astype(jnp.int32)
+    # oh[j, i] = 1 iff local row i is the (j+1)-th boundary. Built and
+    # consumed in (SUB, blk) SLABS: one (blk, blk) f32 one-hot is 256
+    # vregs of live intermediates — far past the register file, so
+    # Mosaic spills every compare/select round trip
+    dims = (((1,), (0,)), ((), ()))
+    dd = partial(jax.lax.dot_general, dimension_numbers=dims,
+                 precision=jax.lax.Precision.DEFAULT,
+                 preferred_element_type=jnp.float32)
+    if MXU_PRECISION == jax.lax.Precision.DEFAULT:
+        esplit = [el]
+    else:
+        esplit = list(_split3(el))   # split the rhs ONCE for all slabs
+    lb_parts = []
+    for jo in range(blk // SUB):
+        jr = jax.lax.broadcasted_iota(jnp.int32, (SUB, blk), 0) \
+            + (jo * SUB + 1)
+        oh_c = jnp.where(jr == rank_row, ind_row, 0.0)   # (SUB, blk)
+        acc = dd(oh_c, esplit[0])
+        for ej in esplit[1:]:
+            acc = acc + dd(oh_c, ej)
+        lb_parts.append(acc)
+    lb_tile = jnp.concatenate(lb_parts, axis=0)  # (blk, d) compacted
+
+    # PARITY-SPLIT destinations: even blocks write lba_ref, odd blocks
+    # lbb_ref (two SEPARATE outputs — a leading (2, rows, 128) axis
+    # lured XLA into a dim0-minor layout whose relayout copy cost
+    # ~100 ms in the full graph; a lane-half split of one (rows, 256)
+    # buffer fails Mosaic's 8-divisible sublane-start proof).
+    # Consecutive blocks' tiles overlap (the zero-padded tails), but
+    # consecutive blocks hit DIFFERENT buffers, and same-buffer
+    # writers (b, b+2) are ordered by the standard wait(b-2) scratch
+    # guard — no DMA write race and no per-block completion wait
+    # (serializing consecutive DMAs cost ~4 us/block of end-to-end DMA
+    # latency). The caller selects per row by p//blk parity.
+    def dma_a(q):
+        return pltpu.make_async_copy(
+            lbscr.at[0], lba_ref.at[pl.ds(glo_ref[q], blk)],
+            sem.at[0])
+
+    def dma_b(q):
+        return pltpu.make_async_copy(
+            lbscr.at[1], lbb_ref.at[pl.ds(glo_ref[q], blk)],
+            sem.at[1])
+
+    @pl.when((b >= 2) & (slot == 0))
+    def _():
+        dma_a(b - 2).wait()
+
+    @pl.when((b >= 2) & (slot == 1))
+    def _():
+        dma_b(b - 2).wait()
+
+    lbscr[slot, :, :d] = lb_tile
+
+    @pl.when(slot == 0)
+    def _():
+        dma_a(b).start()
+
+    @pl.when(slot == 1)
+    def _():
+        dma_b(b).start()
+
+    @pl.when(b == nb - 1)
+    def _():
+        @pl.when(slot == 0)
+        def _():
+            dma_a(b).wait()
+
+        @pl.when(slot == 1)
+        def _():
+            dma_b(b).wait()
+
+        if nb >= 2:
+            @pl.when(slot == 0)
+            def _():
+                dma_b(b - 1).wait()
+
+            @pl.when(slot == 1)
+            def _():
+                dma_a(b - 1).wait()
+
+
+def _dense_boundary_reduce(rows, p, ind, d, okf=None):
+    """Fast-path segment reduce for DENSE, strictly-increasing bounds
+    (the chain reduce's counts' = max(counts, 1) streams): same math
+    and error class as _blocked_segment_reduce (block-local prefixes +
+    whole-block tots), with the inner-prefix materialization and the
+    sorted boundary gather fused away (see _prefix_boundary_kernel).
+    Caller guarantees rows.shape[0] % blk == 0 and that bounds are
+    strictly increasing below m (duplicates only at the clamp m)."""
+    m, n_bounds = rows.shape[0], p.shape[0]
+    n_gauss = n_bounds - 1
+    blk = CUMSUM_BLOCK if m % CUMSUM_BLOCK == 0 else 256
+    nb = m // blk
+    masked = okf is not None
+    g0 = jnp.searchsorted(
+        p, jnp.arange(nb, dtype=p.dtype) * blk,
+        side="left").astype(jnp.int32)
+    # ind -> row-form (nb*8, blk), row 8b real, rows 8b+1..8b+7 zero
+    # pad (Mosaic's 8-sublane block tiling; one 8x pad copy in XLA is
+    # ~0.2 ms at 2M rows vs ~2 us/block of in-kernel relayout)
+    ind8 = jnp.pad(ind.reshape(nb, 1, blk),
+                   ((0, 0), (0, 7), (0, 0))).reshape(nb * 8, blk)
+    operands = [rows, ind8] + ([okf] if masked else [])
+    in_specs = [
+        pl.BlockSpec((blk, d), lambda i, g: (i, 0)),
+        pl.BlockSpec((8, blk), lambda i, g: (i, 0)),
+    ]
+    if masked:
+        in_specs.append(pl.BlockSpec((blk, 1), lambda i, g: (i, 0)))
+    kern = partial(_prefix_boundary_kernel, nb=nb, blk=blk, d=d,
+                   masked=masked)
+    if not masked:
+        def kern(glo_ref, rows_ref, ind_ref, lb_ref, tot_ref, lbscr,
+                 sem):
+            return _prefix_boundary_kernel(
+                glo_ref, rows_ref, ind_ref, None, lb_ref, tot_ref,
+                lbscr, sem, nb=nb, blk=blk, d=d, masked=False)
+    lb_rows = n_bounds + blk
+    lb_sd = jax.ShapeDtypeStruct((lb_rows, 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, g: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, blk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # NOTE no has_side_effects: the lb outputs are consumed below, so
+    # the call is live; marking it side-effecting pinned every loop
+    # iteration's ~1 GB of outputs as non-reusable (measured: 14.2 GB
+    # of temps vs 3.7, and a 2x step-time regression from the
+    # resulting memory pressure)
+    lba, lbb, tot = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[lb_sd, lb_sd,
+                   jax.ShapeDtypeStruct((nb * 8, d), jnp.float32)],
+        interpret=_interpret(),
+    )(g0, *operands)
+    tot = tot[::8]
+    # select each boundary's value from its block's parity buffer
+    parity = ((p // blk) % 2)[:, None]
+    lb = jnp.where(parity == 0, lba[:n_bounds, :d],
+                   lbb[:n_bounds, :d])
+    # tail boundaries (p == m) read the zero block: block-local prefix
+    # 0 by the identity (whole-block tots cover the content)
+    g_m = jnp.searchsorted(p, jnp.int32(m), side="left")
+    lb = jnp.where(jnp.arange(n_bounds)[:, None] >= g_m, 0.0, lb)
+    q = p // blk
+    gb = jnp.searchsorted(
+        q, jnp.arange(nb, dtype=q.dtype), side="right"
+    ).astype(jnp.int32) - 1
+    blocksum = jax.ops.segment_sum(
+        tot, jnp.clip(gb, 0, n_gauss),
+        num_segments=n_gauss + 1)[:n_gauss]
+    return lb[1:] - lb[:-1] + blocksum
+
+
 def _reduce_instance_grads_cumsum(g, perm, n_gauss, s_dim):
     """Prefix-sum alternative for LARGE instance counts: gather the
     row-major instance grads into expansion-stream order (as the
@@ -1106,7 +1346,7 @@ def trace_tiles_pallas(sp: Splats, binning: Binning,
 
 
 def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
-                              cbase, n_gauss, s_dim):
+                              cbase, n_gauss, s_dim, g_stream=None):
     """Chunked chain reduction: XLA's multi-column segment-sum scatter
     costs ~12 ms PER COLUMN at 2.5M rows (column-serial), so the
     d~21-column reduction via plain scatter is ~250 ms. This chain is
@@ -1163,11 +1403,36 @@ def _reduce_transported_chain(rows, sort_slots, bounds, starts, ends,
     # way); per-column slicing happens once at n_gauss scale.
     r = rows.at[idx].get(mode="promise_in_bounds")
     p = jnp.minimum(bounds, m)
+    okf = ok.astype(jnp.float32)[:, None]
     # invalid rows masked INSIDE the prefix kernel (a separate XLA
     # select materialized 600 MB here)
-    acc = _blocked_segment_reduce(
-        r, p, r.shape[1],
-        okf=ok.astype(jnp.float32)[:, None])            # (n_gauss, gl)
+    # _dense_boundary_reduce (round 5) fuses the boundary extraction
+    # into the prefix kernel — bit-identical output, and in isolation
+    # it matches _blocked_segment_reduce (21.1 vs 21.7 ms at the 1M
+    # headline: the one-hot compaction matmuls cost what the removed
+    # 1M-row sorted gather did). OPT-IN (GOI_DENSE_REDUCE=1) because
+    # inside the full train step its two extra 0.5 GB lb buffers push
+    # peak HBM past XLA's rematerialization threshold (14.2 GB of
+    # temps vs 3.7; the remat'd recomputation halved end-to-end
+    # throughput, 2.02 -> 1.09 Mrays/s). Revisit if the step's
+    # residual footprint shrinks.
+    import os as _os
+    if g_stream is not None and m % 256 == 0 \
+            and _os.environ.get("GOI_DENSE_REDUCE"):
+        # round-5 fast path: the chain's bounds are cumsum(max(counts,
+        # 1)) — strictly increasing below m — so boundary extraction
+        # fuses into the prefix kernel (no inner-prefix HBM round trip,
+        # no 1M-row boundary gather). ind from g_stream by one diff.
+        ind = jnp.concatenate(
+            [jnp.ones((1,), jnp.float32),
+             (g_stream[1:] != g_stream[:-1]).astype(jnp.float32)])
+        # the FINAL boundary (end of the last segment, = total demand)
+        # is not any segment's start — mark it too (drop when it sits
+        # at the clamp m, where the caller's tail mask supplies the 0)
+        ind = ind.at[p[-1]].set(1.0, mode="drop")[:, None]
+        acc = _dense_boundary_reduce(r, p, ind, r.shape[1], okf=okf)
+    else:
+        acc = _blocked_segment_reduce(r, p, r.shape[1], okf=okf)
     return (acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9],
             acc[:, 9:9 + s_dim], acc[:, 9 + s_dim])
 
@@ -1310,11 +1575,12 @@ def _blend_core_bwd(grid_x, grid_y, n_out, chunked, res, g):
     # reductions mask (aligned: sentinel gids / sentinel stream_pos) or
     # harmlessly absorb (chunked: zero rows) them
     if chunked and perm:
-        sort_slots, bounds = perm
+        sort_slots, bounds = perm[0], perm[1]
+        g_stream = perm[2] if len(perm) > 2 else None
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_transported_chain(dfeat, sort_slots, bounds,
                                       starts, ends, cbase, n_gauss,
-                                      s_dim)
+                                      s_dim, g_stream=g_stream)
     elif chunked:
         dmean2d, dconic, dopa, dcolor, dsem, ddepth = \
             _reduce_transported(dfeat, n_gauss, s_dim)
@@ -1381,7 +1647,11 @@ def blend_tiles_pallas(sp: Splats, binning: Binning, bg: jax.Array,
             sp.tiles_touched).astype(jnp.int32), 1)
         bounds = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
-        perm = (binning.sort_slots, bounds)
+        # g_stream (when the binning exports it) enables the fused
+        # boundary-compaction reduce (_dense_boundary_reduce)
+        perm = (binning.sort_slots, bounds, binning.g_stream) \
+            if binning.g_stream is not None \
+            else (binning.sort_slots, bounds)
     if reduce in ("sorted", "cumsum"):
         if binning.stream_pos is None:
             raise ValueError(

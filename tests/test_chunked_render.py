@@ -227,3 +227,103 @@ def test_chunked_chain_overflow_masks_dropped_instances():
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def _chain_vs_scatter_grads(n, width, height, seed=31, sem_dim=10):
+    """Full blend_vjp (perm inversion + expansion gather + blocked
+    reduce) chain-vs-scatter agreement on one shared binning."""
+    import dataclasses
+    from goi_tpu.raster.pallas_blend import K
+    from goi_tpu.raster.render import suggest_budgets
+    scene = make_random_scene(n=n, seed=seed, sem_dim=sem_dim,
+                              spread=1.0)
+    cam = make_test_camera(width=width, height=height)
+    bg = jnp.zeros(3)
+    mi, mb = suggest_budgets(scene, cam, margin=1.2)
+    tgt = jax.random.normal(jax.random.PRNGKey(0),
+                            (3, height, width))
+
+    def grads(reduce):
+        cfg = RasterConfig(max_instances=mi, max_binned=mb,
+                           backend="pallas", reduce=reduce)
+
+        def loss(params):
+            out = render(scene.with_params(params), cam, bg, cfg)
+            return (jnp.mean(jnp.abs(out["render"] - tgt))
+                    + jnp.mean(jnp.abs(out["semantics"])))
+
+        return jax.jit(jax.grad(loss))(scene.params())
+
+    gs = grads("scatter")
+    gc = grads("chain")
+    for k in gs:
+        a, b = np.asarray(gs[k]), np.asarray(gc[k])
+        # same sums, different association (blocked prefix vs direct
+        # scatter): fp32 rounding-level agreement, magnitude-relative
+        scale = np.maximum(np.abs(a), np.quantile(np.abs(a), 0.99))
+        np.testing.assert_array_less(
+            np.abs(a - b), 5e-3 * scale + 5e-5,
+            err_msg=f"{k}: chain vs scatter diverge")
+
+
+def test_chain_vs_scatter_full_vjp_reduced():
+    """CI-sized end-to-end chain pin (VERDICT r4 item 8): the fp64
+    oracle covers _blocked_segment_reduce alone; this runs the FULL
+    chain (perm inversion + gather + reduce) against the scatter
+    reduce through blend_vjp."""
+    _chain_vs_scatter_grads(n=1200, width=64, height=48)
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("GOI_SCALE_TEST"),
+    reason="set GOI_SCALE_TEST=1 on a TPU host (full 1M-scale chain "
+           "agreement; conftest then leaves the platform alone)")
+def test_chain_vs_scatter_full_vjp_1m():
+    """Production-count end-to-end chain agreement on the chip: the
+    same full blend_vjp pin at the 1M-Gaussian headline scale (~2M
+    instances through perm inversion, the 64-lane expansion gather,
+    and the blocked segment reduce)."""
+    _chain_vs_scatter_grads(n=1_000_000, width=512, height=512,
+                            sem_dim=10)
+
+
+def test_dense_boundary_reduce_million_rows_vs_fp64():
+    """fp64 oracle for the round-5 FUSED dense-bounds reduce
+    (_dense_boundary_reduce: in-kernel boundary compaction instead of
+    the inner-prefix round trip + sorted gather). Same adversarial
+    magnitude spread as the general-path oracle, dense segments
+    (sizes >= 1, the chain's counts' = max(counts, 1) invariant),
+    block-spanning segments, an ok-mask, and a clamped overflow tail."""
+    from goi_tpu.raster.pallas_blend import _dense_boundary_reduce
+
+    m, n_gauss, d = 1_048_576, 500_000, 64   # m % 512 == 0
+    rng = np.random.default_rng(99)
+    scale = 10.0 ** rng.uniform(-3, 3, size=(m, 1)).astype(np.float32)
+    rows = (rng.standard_normal((m, d), np.float32) * scale)
+    ok = (rng.uniform(size=m) > 0.05)
+    sizes = rng.geometric(0.45, size=n_gauss).astype(np.int64)
+    sizes[rng.integers(0, n_gauss, 100)] += rng.integers(512, 4096, 100)
+    bounds_raw = np.zeros(n_gauss + 1, np.int64)
+    np.cumsum(sizes, out=bounds_raw[1:])
+    # overflow-style clamp: demand may exceed m -> duplicates at m only
+    p = np.minimum(bounds_raw, m).astype(np.int32)
+    ind = np.zeros(m, np.float32)
+    ind[p[p < m]] = 1.0
+
+    acc = np.asarray(_dense_boundary_reduce(
+        jnp.asarray(rows), jnp.asarray(p), jnp.asarray(ind)[:, None],
+        d, okf=jnp.asarray(ok.astype(np.float32))[:, None]))
+
+    rows64 = rows.astype(np.float64) * ok[:, None]
+    ref = np.add.reduceat(
+        np.vstack([rows64, np.zeros((1, d))]), p, axis=0)[:n_gauss]
+    ref[p[:-1] == p[1:]] = 0.0
+    err = np.abs(acc - ref)
+    assert np.max(err) < 0.05, np.max(err)
+    assert np.quantile(err, 0.999) < 5e-3, np.quantile(err, 0.999)
+    big = np.abs(ref) > 1.0
+    assert np.max(err[big] / np.abs(ref[big])) < 5e-3
