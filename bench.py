@@ -208,19 +208,28 @@ def _webapp_frame_ms(scene, w, h, frames=10):
 
     from goi_tpu.viewer.web import _to_jpeg
 
-    def one(i):
-        cam = NGPOrbitCamera(w, h, r=3.5, fovy=50.0)
+    def one(i, wf, hf):
+        cam = NGPOrbitCamera(wf, hf, r=3.5, fovy=50.0)
         cam.orbit_to(0.0, 137.0 * i)
         # the interactive configuration: device-side uint8 quantization
         # (3.7 MB transfer instead of 15 MB f32) + JPEG encoding
         img = sess.render_view(cam.to_camera(), as_u8=True)
         return _to_jpeg(np.asarray(img).transpose(2, 0, 1))
 
-    one(0)  # compile
+    # the progressive viewer paints a half-res preview FIRST (the
+    # interactivity number), then replaces with the full frame
+    wp, hp = (w // 2 // 16) * 16, (h // 2 // 16) * 16
+    one(0, wp, hp)    # compile preview program
     t0 = time.time()
     for i in range(frames):
-        one(i + 1)
-    return (time.time() - t0) / frames * 1000
+        one(i + 1, wp, hp)
+    preview_ms = (time.time() - t0) / frames * 1000
+
+    one(0, w, h)      # compile full program
+    t0 = time.time()
+    for i in range(frames):
+        one(i + 1, w, h)
+    return (time.time() - t0) / frames * 1000, preview_ms
 
 
 def main():
@@ -262,9 +271,13 @@ def main():
         det["fwd_fps_1296x968_sem_1M"] = round(
             _fwd_fps(big, cam_big), 1)
         # interactive QueryWebApp frame latency at the reference GUI's
-        # big-frame workload, 1M Gaussians (VERDICT r2 item 8)
-        det["webapp_frame_ms_1296x968_1M"] = round(
-            _webapp_frame_ms(big, 1296, 968), 1)
+        # big-frame workload, 1M Gaussians (VERDICT r2 item 8). The
+        # progressive viewer paints the half-res preview first —
+        # webapp_preview_* is the interactivity (first-paint) latency;
+        # the full-res frame replaces it when the view settles.
+        full_ms, prev_ms = _webapp_frame_ms(big, 1296, 968)
+        det["webapp_frame_ms_1296x968_1M"] = round(full_ms, 1)
+        det["webapp_preview_frame_ms_1296x968_1M"] = round(prev_ms, 1)
         # the round-1/2 comparison config (100k) as detail entries
         det["train_mrays_per_s_100k"] = round(
             _train_mrays(small, cam, reduce_mode), 3)

@@ -41,7 +41,21 @@ import time
 
 
 def run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8,
-        seed=3, n_obj=4, ape_dim=64, n_views=64):
+        seed=3, n_obj=4, ape_dim=64, n_views=64,
+        variant="standard"):
+    """variant="adversarial" (VERDICT r4 item 7) stresses the three
+    properties the round-4 protocol avoided: MILD TRANSLUCENCY (raw
+    opacity 0.9 -> alpha ~0.71: pixels become obj/bg feature mixtures,
+    the regime the reference's argmax->LUT decode cannot fully
+    represent, ref:gui/main.py:363-385), an SFM-PERTURBED field
+    geometry (xyz noise 0.01 + per-axis scale jitter: the distill
+    trains semantics on an imperfect reconstruction, as it would after
+    real SfM + RGB training), and ANISOTROPIC Gaussians (per-axis
+    log-scales up to ~6:1). The run reports mIoU against a computed
+    DECODE CEILING: GT one-hot semantics rendered through the
+    perturbed translucent geometry, then the same argmax decode —
+    the upper bound ANY semantics-only training can reach through
+    this decode on this geometry. Bar: miou >= 0.75 * ceiling."""
     from goi_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax
@@ -85,9 +99,16 @@ def run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8,
         scales=np.full(len(xyz), 0.012, np.float32))
     sems = np.zeros((len(xyz), 10), np.float32)
     sems[np.arange(len(xyz)), np.minimum(obj, 9)] = 4.0
+    adversarial = variant == "adversarial"
+    opacity_raw = 0.9 if adversarial else 1.8   # alpha 0.71 vs 0.86
     gt_scene = scene.replace(
-        opacity=jnp.full_like(scene.opacity, 1.8),
+        opacity=jnp.full_like(scene.opacity, opacity_raw),
         semantics=jnp.asarray(sems))
+    if adversarial:
+        # anisotropic per-axis log-scales (up to ~6:1 ellipsoids)
+        aniso = rng.uniform(np.log(0.005), np.log(0.03),
+                            (scene.capacity, 3)).astype(np.float32)
+        gt_scene = gt_scene.replace(scaling=jnp.asarray(aniso))
 
     # view-rich llffhold-8 protocol (module docstring, fix 1)
     cams = []
@@ -136,7 +157,41 @@ def run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8,
     # (chunked layout: the instance budget is the single knob)
     small = RasterConfig(max_instances=max(K * 512, mi // 2),
                          backend="pallas")
-    fresh = gt_scene.replace(
+    field_geom = gt_scene
+    ceiling = None
+    if adversarial:
+        # SfM-perturbed field geometry: the distill trains semantics
+        # on an imperfect reconstruction of the GT surfaces
+        field_geom = gt_scene.replace(
+            xyz=gt_scene.xyz + jnp.asarray(
+                rng.normal(0, 0.01, gt_scene.xyz.shape)
+                .astype(np.float32)),
+            scaling=gt_scene.scaling + jnp.asarray(
+                rng.uniform(np.log(0.8), np.log(1.25),
+                            gt_scene.scaling.shape)
+                .astype(np.float32)))
+        # decode ceiling: GT one-hot semantics rendered through the
+        # perturbed translucent geometry, same argmax decode (docstring)
+        render_c = jax.jit(lambda c: render(field_geom, c,
+                                            jnp.zeros(3), cfg))
+        cvals = []
+        for vi in test_idx:
+            wmap = np.asarray(render_c(cams[vi])["semantics"])
+            pred_lab = np.where(wmap[:n_obj].max(0) > 0.2,
+                                wmap[:n_obj].argmax(0), -1)
+            per_obj = []
+            for k in range(n_obj):
+                inter = np.logical_and(pred_lab == k,
+                                       gt_masks[vi] == k).sum()
+                union = np.logical_or(pred_lab == k,
+                                      gt_masks[vi] == k).sum()
+                per_obj.append(inter / max(union, 1))
+            cvals.append(float(np.mean(per_obj)))
+        ceiling = float(np.mean(cvals))
+        print(f"decode ceiling on perturbed geometry: {ceiling:.4f} "
+              f"(per-view {[round(v, 3) for v in cvals]})", flush=True)
+        miou_bar = 0.75 * ceiling
+    fresh = field_geom.replace(
         semantics=jnp.zeros_like(gt_scene.semantics))
     # pre-upload the (64, 512, 512) feature maps ONCE: re-transferring
     # 67 MB host->device per iteration dominates the step time
@@ -182,10 +237,17 @@ def run(n_gauss=500_000, size=512, iters=1500, miou_bar=0.8,
         "miou": round(miou, 4),
         "per_view_miou": [round(v, 4) for v in per_view],
         "per_obj_iou": [round(float(v), 4) for v in per_obj_all],
-        "miou_bar": miou_bar,
+        "miou_bar": round(miou_bar, 4),
+        "variant": variant,
     }
+    if ceiling is not None:
+        result["decode_ceiling"] = round(ceiling, 4)
+        result["miou_over_ceiling"] = round(miou / max(ceiling, 1e-9),
+                                            4)
+    out_name = ("SCALE_TRAIN_ADV.json" if adversarial
+                else "SCALE_TRAIN.json")
     print(json.dumps(result, indent=1))
-    with open("SCALE_TRAIN.json", "w") as f:
+    with open(out_name, "w") as f:
         json.dump(result, f, indent=1)
     assert miou >= miou_bar, (miou, per_view)
     return result
@@ -197,6 +259,8 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--bar", type=float, default=0.8)
+    ap.add_argument("--variant", type=str, default="standard",
+                    choices=["standard", "adversarial"])
     args = ap.parse_args()
     run(n_gauss=args.n, size=args.size, iters=args.iters,
-        miou_bar=args.bar)
+        miou_bar=args.bar, variant=args.variant)

@@ -92,17 +92,28 @@ async function op(name,args){
  const j=await res.json();
  stat.textContent=' '+JSON.stringify(j);
  dirty=true;}
+let gen=0;  // frame generation: a newer request cancels stale refines
+async function paint(s,m,o,myGen,t0){
+ const u=`/frame?elev=${el}&azim=${az}&radius=${r}&w=640&h=480`+
+         `&mode=${m}&overlay=${o}&scale=${s}&fmt=jpeg`;
+ const b=await (await fetch(u)).blob();
+ if(myGen!==gen)return false;  // superseded while in flight
+ img.src=URL.createObjectURL(b);
+ stat.textContent=` ${(performance.now()-t0).toFixed(0)} ms`+
+                  (s<1?' (preview)':'');
+ return true;}
 async function loop(){
  if(dirty&&!busy){busy=true;dirty=false;
   const m=document.getElementById('mode').value;
   const o=document.getElementById('ovl').checked?1:0;
   const t0=performance.now();
-  const s=drag?0.5:1;  // preview frames at half res while orbiting
-  const u=`/frame?elev=${el}&azim=${az}&radius=${r}&w=640&h=480`+
-          `&mode=${m}&overlay=${o}&scale=${s}&fmt=jpeg`;
-  try{const b=await (await fetch(u)).blob();
-   img.src=URL.createObjectURL(b);
-   stat.textContent=` ${(performance.now()-t0).toFixed(0)} ms`;
+  const myGen=++gen;
+  try{
+   // progressive refine: half-res preview paints first (device
+   // compute + transfer both ~4x cheaper), then the full-res frame
+   // replaces it unless the view moved again meanwhile
+   await paint(0.5,m,o,myGen,t0);
+   if(!drag&&myGen===gen&&!dirty)await paint(1,m,o,myGen,t0);
   }catch(e){stat.textContent=' error';}
   busy=false;}
  requestAnimationFrame(loop);}
