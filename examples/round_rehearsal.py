@@ -36,6 +36,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the committed perf record vs the code it claims to measure
+PERF_ARTIFACTS = ("BENCH_DETAIL.json", "BENCH_STAGES.json",
+                  "CHAIN_PROFILE.json", "PRECISION_SWEEP.json")
+KERNEL_PATHS = ("goi_tpu/raster", "goi_tpu/dist/render.py", "bench.py")
+
+
+def check_perf_artifact_freshness():
+    """Round-5 (VERDICT r4 item 9): the rehearsal FAILS if any
+    committed perf artifact lags the newest kernel commit — round 4
+    shipped BENCH_DETAIL/BENCH_STAGES that still described the round-3
+    backward after two kernel rewrites; this is the drift that check
+    exists to catch. Re-run `bench.py --detail` / the profilers on the
+    chip and commit the refreshed JSONs to clear it."""
+    import subprocess
+
+    def last_ts(path):
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            capture_output=True, text=True, cwd=REPO).stdout.strip()
+        return int(out) if out else 0
+
+    kernel_ts = max(last_ts(p) for p in KERNEL_PATHS)
+    stale = [a for a in PERF_ARTIFACTS if last_ts(a) < kernel_ts]
+    assert not stale, (
+        f"perf artifacts {stale} were last committed BEFORE the newest "
+        f"kernel commit (epoch {kernel_ts}) — the committed perf record "
+        f"no longer describes the code; refresh and commit them")
+    return kernel_ts
+
 
 def build_gt(n_gauss, n_obj, ape_dim, seed=3):
     import jax.numpy as jnp
@@ -154,6 +185,11 @@ def main(argv=None):
         rgb_iters, distill_iters, ape_dim, tab_len = 2000, 600, 32, 32
     if args.n:
         n_gauss = args.n
+    # artifact-freshness gate FIRST: a rehearsal that would bless a
+    # stale committed perf record should fail before spending compute
+    ts = check_perf_artifact_freshness()
+    print(f"[0/6] perf artifacts fresh vs kernel commit {ts}",
+          flush=True)
     n_obj = 4
     w = h = size
     root = args.root
